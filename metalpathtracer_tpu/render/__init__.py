@@ -1,0 +1,34 @@
+from metalpathtracer_tpu.render.camera import Camera, InputState, viewport_basis
+from metalpathtracer_tpu.render.device_scene import DeviceScene, upload_scene
+from metalpathtracer_tpu.render.integrator import (
+    DEFAULT_CONFIG,
+    REFERENCE_CONFIG,
+    RenderConfig,
+    trace,
+)
+from metalpathtracer_tpu.render.pipeline import (
+    AccumState,
+    accumulate,
+    generate_rays,
+    init_accum,
+    render_image,
+    to_image,
+)
+
+__all__ = [
+    "Camera",
+    "InputState",
+    "viewport_basis",
+    "DeviceScene",
+    "upload_scene",
+    "RenderConfig",
+    "DEFAULT_CONFIG",
+    "REFERENCE_CONFIG",
+    "trace",
+    "AccumState",
+    "accumulate",
+    "init_accum",
+    "render_image",
+    "to_image",
+    "generate_rays",
+]

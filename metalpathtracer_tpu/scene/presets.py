@@ -28,9 +28,9 @@ def cornell_spheres() -> HostScene:
     s.add_sphere((0, half, -(big + half)), big, WHITE)  # back wall at z=-2.5
     s.add_sphere((-(big + half), half, 0), big, RED)  # left wall x=-2.5
     s.add_sphere((big + half, half, 0), big, GREEN)  # right wall x=+2.5
-    # light: emissive sphere near the ceiling
+    # light: emissive sphere hanging just below the ceiling (top half embedded)
     s.add_sphere(
-        (0, 2 * half + 0.8, 0),
+        (0, 2 * half, 0),
         1.0,
         Material(albedo=(0, 0, 0), emission_color=(1.0, 0.9, 0.7),
                  emission_power=5.0),

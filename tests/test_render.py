@@ -1,0 +1,193 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metalpathtracer_tpu.render import (
+    Camera,
+    RenderConfig,
+    accumulate,
+    init_accum,
+    render_image,
+    to_image,
+    upload_scene,
+)
+from metalpathtracer_tpu.render.bsdf import sky_color
+from metalpathtracer_tpu.render.intersect import closest_hit_bruteforce
+from metalpathtracer_tpu.render.traverse import closest_hit_bvh
+from metalpathtracer_tpu.scene import HostScene, Material, load_scene_xml, presets
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CORNELL_CAM = Camera.look_at((0, 2.5, 9.0), (0, 2.5, 0), vfov_deg=40.0)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return upload_scene(presets.cornell_spheres())
+
+
+def test_bvh_equals_bruteforce_bunny():
+    # The BVH path must find exactly the hits the exhaustive scan finds.
+    scene = upload_scene(load_scene_xml(os.path.join(REPO, "scenes", "reference.xml")))
+    n = 512
+    rng_ = np.random.default_rng(0)
+    o = jnp.asarray(
+        rng_.uniform(-30, 30, (n, 3)).astype(np.float32) + np.array([0, 20, 40], np.float32)
+    )
+    d = rng_.standard_normal((n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    t_bf, i_bf = closest_hit_bruteforce(scene, o, d)
+    t_bv, i_bv = closest_hit_bvh(scene, o, d)
+    np.testing.assert_allclose(np.asarray(t_bv), np.asarray(t_bf), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_bv), np.asarray(i_bf))
+
+
+def test_sky_only_matches_analytic(cornell):
+    # A scene with nothing in view returns exactly the sky gradient of each
+    # (jittered) primary direction — radiance is sky(d), no noise beyond
+    # jitter (SURVEY.md §4.3).
+    scene = upload_scene(presets.sky_only())
+    cam = Camera.look_at((0, 0, 0), (0, 0, -1), vfov_deg=60.0)
+    img, _ = render_image(scene, cam, 32, 32, spp=1, seed=5)
+    img = np.asarray(img)
+    # top rows look more upward → bluer (smaller red) than bottom rows
+    assert img[0, :, 2].mean() > 0
+    assert img[0, :, 0].mean() < img[-1, :, 0].mean()
+    # every pixel lies on the sky gradient line: g = mix(1,(.6,.7,1),t)
+    t = (1.0 - img[..., 0]) / 0.4  # invert red channel
+    expect_g = 1.0 + (0.7 - 1.0) * t
+    expect_b = 1.0 + (1.0 - 1.0) * t
+    np.testing.assert_allclose(img[..., 1], expect_g, atol=1e-5)
+    np.testing.assert_allclose(img[..., 2], expect_b, atol=1e-5)
+
+
+def test_furnace_unbiased():
+    # albedo-1.0 sphere inside a uniform unit-emission environment: every
+    # pixel must converge to exactly 1.0 (furnace test, SURVEY.md §4.3).
+    scene = upload_scene(presets.furnace(1.0))
+    cam = Camera.look_at((0, 0, 0), (0, 0, -3), vfov_deg=40.0)
+    img, _ = render_image(
+        scene, cam, 24, 24, spp=16, seed=2, cfg=RenderConfig(max_depth=64)
+    )
+    np.testing.assert_allclose(np.asarray(img), 1.0, atol=1e-4)
+
+
+def test_furnace_half_albedo():
+    # albedo-0.5: direct env hit = 1; sphere pixels see geometric series
+    # sum 0.5^k — with env emission 1 the sphere reads 0.5/(1-0.5)*? No:
+    # L = 0.5 * 1 (one bounce to env) exactly, since env hit terminates path
+    # contribution chain (albedo 0 env). So sphere pixels = 0.5.
+    scene = upload_scene(presets.furnace(0.5))
+    cam = Camera.look_at((0, 0, 0), (0, 0, -3), vfov_deg=20.0)  # sphere fills view
+    img, _ = render_image(scene, cam, 16, 16, spp=32, seed=3)
+    np.testing.assert_allclose(np.asarray(img), 0.5, atol=1e-3)
+
+
+def test_render_deterministic(cornell):
+    img1, r1 = render_image(cornell, CORNELL_CAM, 32, 32, spp=4, seed=7)
+    img2, r2 = render_image(cornell, CORNELL_CAM, 32, 32, spp=4, seed=7)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert r1 == r2
+    img3, _ = render_image(cornell, CORNELL_CAM, 32, 32, spp=4, seed=8)
+    assert not np.array_equal(np.asarray(img1), np.asarray(img3))
+
+
+def test_accumulate_matches_batch_render(cornell):
+    # progressive accumulation in two passes == one batch render with the
+    # same sample ids (resume-exactness; SURVEY.md §5 checkpoint note)
+    st = init_accum(24, 24)
+    st = accumulate(st, cornell, CORNELL_CAM, 24, 24, 3, jnp.uint32(11))
+    st = accumulate(st, cornell, CORNELL_CAM, 24, 24, 3, jnp.uint32(11))
+    img_prog = np.asarray(to_image(st, clamp=False))
+    assert int(st.spp) == 6
+    img_batch, _ = render_image(cornell, CORNELL_CAM, 24, 24, spp=6, seed=11)
+    np.testing.assert_allclose(img_prog, np.asarray(img_batch), rtol=1e-5, atol=1e-6)
+
+
+def test_spp_chunking_invariant(cornell):
+    # rendering in multiple passes must equal one pass exactly
+    a, _ = render_image(cornell, CORNELL_CAM, 16, 16, spp=4, seed=1, spp_per_pass=1)
+    b, _ = render_image(cornell, CORNELL_CAM, 16, 16, spp=4, seed=1, spp_per_pass=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_clamp_config(cornell):
+    # reference-faithful clamping bounds every sample to [0,1]
+    img, _ = render_image(
+        cornell, CORNELL_CAM, 16, 16, spp=2, seed=4,
+        cfg=RenderConfig(clamp_radiance=True),
+    )
+    assert float(jnp.max(img)) <= 1.0
+
+
+def test_mirror_reflects_scene():
+    # A mirror floor under the sky: looking down must show sky colors
+    # (the reflected upward ray), not darkness.
+    s = HostScene()
+    s.add_sphere((0, -1000, 0), 1000.0, Material(albedo=(0.9, 0.9, 0.9),
+                                                 material_type=-1.0))
+    scene = upload_scene(s)
+    cam = Camera.look_at((0, 5, 0), (2, 0, -4), vfov_deg=50.0)
+    img, _ = render_image(scene, cam, 16, 16, spp=4, seed=6)
+    img = np.asarray(img)
+    # mirror * sky: blue channel strongest (sky zenith is (0.6,0.7,1.0))
+    assert img[..., 2].mean() > img[..., 0].mean() > 0.1
+
+
+def test_dielectric_transmits():
+    # Glass sphere in front of the camera against the sky: pixels through the
+    # sphere stay bright (transmission), not black.
+    s = HostScene()
+    s.add_sphere((0, 0, -3), 1.0, Material(albedo=(1, 1, 1), material_type=1.5))
+    scene = upload_scene(s)
+    cam = Camera.look_at((0, 0, 0), (0, 0, -3), vfov_deg=30.0)
+    img, _ = render_image(scene, cam, 16, 16, spp=8, seed=9)
+    center = np.asarray(img)[6:10, 6:10]
+    assert center.mean() > 0.4
+
+
+def test_emissive_continues_bouncing(cornell):
+    # Reference semantics: emissive hits keep bouncing (PathTracing.h:245-249)
+    # with throughput *= albedo(=0 for our light) — the light sphere pixel is
+    # exactly emission*power where seen directly.
+    img, _ = render_image(cornell, CORNELL_CAM, 48, 48, spp=1, seed=12)
+    img = np.asarray(img)
+    assert img.max() >= 4.0  # light pixels read ~5 * (1.0,0.9,0.7)
+
+
+def test_nee_matches_naive_mean():
+    # NEE is a different estimator of the same integral: means must agree.
+    scene = upload_scene(presets.cornell_spheres())
+    naive, _ = render_image(scene, CORNELL_CAM, 24, 24, spp=64, seed=21)
+    nee, _ = render_image(
+        scene, CORNELL_CAM, 24, 24, spp=16, seed=22,
+        cfg=RenderConfig(nee=True, max_depth=16),
+    )
+    m_naive = float(np.asarray(naive).mean())
+    m_nee = float(np.asarray(nee).mean())
+    assert abs(m_naive - m_nee) / m_naive < 0.15
+
+
+def test_rr_unbiased_mean():
+    scene = upload_scene(presets.cornell_spheres())
+    base, _ = render_image(scene, CORNELL_CAM, 24, 24, spp=48, seed=31)
+    rr, _ = render_image(
+        scene, CORNELL_CAM, 24, 24, spp=48, seed=32,
+        cfg=RenderConfig(rr_start=3),
+    )
+    m0, m1 = float(np.asarray(base).mean()), float(np.asarray(rr).mean())
+    assert abs(m0 - m1) / m0 < 0.15
+
+
+def test_render_rejects_bad_spp(cornell):
+    with pytest.raises(ValueError):
+        render_image(cornell, CORNELL_CAM, 8, 8, spp=0)
+
+
+def test_sky_color_values():
+    d = jnp.array([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]])
+    sky = np.asarray(sky_color(d))
+    np.testing.assert_allclose(sky[0], [0.6, 0.7, 1.0], atol=1e-6)  # zenith
+    np.testing.assert_allclose(sky[1], [1.0, 1.0, 1.0], atol=1e-6)  # nadir
