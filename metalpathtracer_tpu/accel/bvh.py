@@ -65,11 +65,30 @@ def _surface_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
-def build_bvh(scene: PackedScene, leaf_size: int = LEAF_SIZE) -> BVHArrays:
-    """Build over the scene's real (unpadded) primitives."""
+NATIVE_THRESHOLD = 20_000  # above this the C++ builder is used when built
+
+
+def build_bvh(
+    scene: PackedScene, leaf_size: int = LEAF_SIZE, backend: str = "auto"
+) -> BVHArrays:
+    """Build over the scene's real (unpadded) primitives.
+
+    backend: "auto" (C++ builder for large scenes when compiled — see
+    native/bvh_builder.cpp), "numpy", or "native"."""
     lo_all, hi_all = scene.aabbs()
     n = scene.num_real
-    return build_bvh_from_aabbs(lo_all[:n], hi_all[:n], leaf_size)
+    lo, hi = lo_all[:n], hi_all[:n]
+    if backend != "numpy":
+        from metalpathtracer_tpu.accel import native
+
+        if backend == "native" or (n > NATIVE_THRESHOLD and native.native_available()):
+            if native.native_available():
+                return native.build_bvh_native(lo, hi, leaf_size)
+            if backend == "native":
+                raise RuntimeError(
+                    "native BVH builder requested but not built; run `make -C native`"
+                )
+    return build_bvh_from_aabbs(lo, hi, leaf_size)
 
 
 def build_bvh_from_aabbs(

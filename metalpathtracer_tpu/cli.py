@@ -37,7 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--camera-pos", default="0,20,50", help="x,y,z (reference default)")
     p.add_argument("--camera-target", default=None, help="x,y,z look-at point")
     p.add_argument("--fov", type=float, default=60.0)
-    p.add_argument("--no-bvh", action="store_true", help="brute-force intersection")
+    p.add_argument("--intersector", default="auto",
+                   choices=["auto", "mm", "bvh", "brute"],
+                   help="closest-hit backend (auto = MXU matmul kernel for "
+                        "VMEM-sized scenes, BVH traversal beyond)")
     p.add_argument("--nee", action="store_true", help="next-event estimation")
     p.add_argument("--rr-start", type=int, default=0,
                    help="first Russian-roulette bounce (0 = off)")
@@ -112,7 +115,7 @@ def main(argv=None) -> int:
 
     cfg = RenderConfig(
         max_depth=args.max_depth,
-        use_bvh=not args.no_bvh,
+        intersector=args.intersector,
         clamp_radiance=args.clamp,
         rr_start=args.rr_start,
         nee=args.nee,

@@ -39,9 +39,26 @@ class DeviceScene:
     node_a: jax.Array  # int32 (M,)
     node_b: jax.Array  # int32 (M,)
     prim_indices: jax.Array  # int32 (P,)
+    # MXU triangle-intersection weights (render/pallas/intersect_mm.py)
+    mm_wa: jax.Array  # float32 (12, Tmm) padded to TILE_P
+    mm_wu: jax.Array  # float32 (12, Tmm)
+    mm_wv: jax.Array  # float32 (12, Tmm)
+    mm_wt: jax.Array  # float32 (12, Tmm)
+    mm_tri_ids: jax.Array  # int32 (Tmm,) column -> original primitive index
+    mm_tile_box: jax.Array  # float32 (n_tiles, 8) per-tile AABB [lo3,_,hi3,_]
+    # sphere SoA for the exact sphere pass
+    sph_center: jax.Array  # float32 (S, 3)
+    sph_radius: jax.Array  # float32 (S,)
+    sph_ids: jax.Array  # int32 (S,)
+    # packed per-primitive tables: ONE gather per bounce instead of many.
+    # geom: [p0(3), p1(3), p2(3), prim_type, 0, 0, 0, 0, 0, 0, 0]
+    # mat:  [albedo(3), material_type, emission(3), power, fuzz, 0, ...]
+    geom_table: jax.Array  # float32 (P, 16)
+    mat_table: jax.Array  # float32 (P, 16)
     # static metadata (not traced)
     num_real: int = dataclasses.field(metadata=dict(static=True))
     max_depth: int = dataclasses.field(metadata=dict(static=True))
+    num_tris: int = dataclasses.field(metadata=dict(static=True))
 
 
 def upload_scene(
@@ -56,6 +73,22 @@ def upload_scene(
     p = packed.num_padded
     prim_indices = np.zeros(p, np.int32)
     prim_indices[: bvh.prim_indices.shape[0]] = bvh.prim_indices
+
+    from metalpathtracer_tpu.render.pallas.intersect_mm import build_weights
+
+    w = build_weights(packed.prim_type, packed.p0, packed.p1, packed.p2)
+
+    geom = np.zeros((p, 16), np.float32)
+    geom[:, 0:3] = packed.p0
+    geom[:, 3:6] = packed.p1
+    geom[:, 6:9] = packed.p2
+    geom[:, 9] = packed.prim_type
+    mat = np.zeros((p, 16), np.float32)
+    mat[:, 0:3] = packed.albedo
+    mat[:, 3] = packed.material_type
+    mat[:, 4:7] = packed.emission_color
+    mat[:, 7] = packed.emission_power
+    mat[:, 8] = packed.fuzz
 
     return DeviceScene(
         prim_type=jax.numpy.asarray(packed.prim_type),
@@ -72,6 +105,18 @@ def upload_scene(
         node_a=jax.numpy.asarray(bvh.node_a),
         node_b=jax.numpy.asarray(bvh.node_b),
         prim_indices=jax.numpy.asarray(prim_indices),
+        mm_wa=jax.numpy.asarray(w["wa"]),
+        mm_wu=jax.numpy.asarray(w["wu"]),
+        mm_wv=jax.numpy.asarray(w["wv"]),
+        mm_wt=jax.numpy.asarray(w["wt"]),
+        mm_tri_ids=jax.numpy.asarray(w["tri_ids"]),
+        mm_tile_box=jax.numpy.asarray(w["tile_box"]),
+        sph_center=jax.numpy.asarray(w["sph_center"]),
+        sph_radius=jax.numpy.asarray(w["sph_radius"]),
+        sph_ids=jax.numpy.asarray(w["sph_ids"]),
+        geom_table=jax.numpy.asarray(geom),
+        mat_table=jax.numpy.asarray(mat),
         num_real=int(packed.num_real),
         max_depth=int(bvh.max_depth),
+        num_tris=int(w["n_tris"]),
     )

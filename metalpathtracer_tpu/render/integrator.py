@@ -33,7 +33,7 @@ from metalpathtracer_tpu.render import bsdf
 from metalpathtracer_tpu.render.intersect import (
     T_MIN,
     closest_hit_bruteforce,
-    surface_interaction,
+    surface_interaction_packed,
 )
 from metalpathtracer_tpu.render.traverse import closest_hit_bvh
 from metalpathtracer_tpu.scene.types import PRIM_SPHERE
@@ -46,7 +46,9 @@ class RenderConfig:
     (`PathTracing.h:216`, `Scene.h:223`, SURVEY.md §5 config note)."""
 
     max_depth: int = 32  # reference maxRayDepth (PathTracing.h:216)
-    use_bvh: bool = True
+    # intersector: "auto" picks the MXU matmul kernel for scenes that fit
+    # VMEM and BVH traversal beyond; "bvh" / "mm" / "brute" force a path.
+    intersector: str = "auto"
     brute_chunk: int = 128
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
@@ -57,10 +59,22 @@ DEFAULT_CONFIG = RenderConfig()
 REFERENCE_CONFIG = RenderConfig(max_depth=32, clamp_radiance=True)
 
 
-def _trace_rays(scene, o, d, cfg):
-    if cfg.use_bvh:
+MM_MAX_PRIMS = 8192  # beyond this the brute-force matmul loses to traversal
+
+
+def _trace_rays(scene, o, d, cfg, active=None):
+    kind = cfg.intersector
+    if kind == "auto":
+        kind = "mm" if scene.mm_wa.shape[1] <= MM_MAX_PRIMS else "bvh"
+    if kind == "mm":
+        from metalpathtracer_tpu.render.pallas.intersect_mm import closest_hit_mm
+
+        return closest_hit_mm(scene, o, d, T_MIN, active=active)
+    if kind == "bvh":
         return closest_hit_bvh(scene, o, d, T_MIN)
-    return closest_hit_bruteforce(scene, o, d, T_MIN, chunk=cfg.brute_chunk)
+    if kind == "brute":
+        return closest_hit_bruteforce(scene, o, d, T_MIN, chunk=cfg.brute_chunk)
+    raise ValueError(f"unknown intersector {cfg.intersector!r}")
 
 
 def _sample_light_sphere(scene, point, u1, u2):
@@ -134,7 +148,7 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
         bounce, o, d, light, throughput, active, prev_spec, rays_traced = state
         rays_traced = rays_traced + jnp.sum(active, dtype=rays_traced.dtype)
 
-        t, idx = _trace_rays(scene, o, d, cfg)
+        t, idx = _trace_rays(scene, o, d, cfg, active=active)
         miss = idx < 0
 
         # --- sky on miss (PathTracing.h:225-231) ---
@@ -142,13 +156,16 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
         light = light + jnp.where((active & miss)[:, None], throughput * sky, 0.0)
 
         hit_live = active & ~miss
-        point, normal, front_face = surface_interaction(scene, o, d, t, idx)
         midx = jnp.maximum(idx, 0)
-        albedo = scene.albedo[midx]
-        mat_type = scene.material_type[midx]
-        fuzz = scene.fuzz[midx]
-        emission = scene.emission_color[midx]
-        power = scene.emission_power[midx]
+        # two packed gathers per bounce (geometry + material) instead of ~10
+        geom_row = scene.geom_table[midx]
+        mat_row = scene.mat_table[midx]
+        point, normal, front_face = surface_interaction_packed(geom_row, o, d, t)
+        albedo = mat_row[:, 0:3]
+        mat_type = mat_row[:, 3]
+        emission = mat_row[:, 4:7]
+        power = mat_row[:, 7]
+        fuzz = mat_row[:, 8]
 
         # --- emissive accumulation (PathTracing.h:245-249) ---
         emissive = bsdf.is_emissive(mat_type, power)

@@ -165,6 +165,24 @@ def closest_hit_bruteforce(scene, o, d, t_min=T_MIN, chunk: int = 128):
     return best_t, best_i
 
 
+def surface_interaction_packed(geom_row, o, d, t):
+    """Like `surface_interaction` but from a pre-gathered (N, 16) row of
+    `scene.geom_table` — the wavefront pays ONE gather per bounce instead of
+    four (gathers are the dominant per-bounce cost on TPU)."""
+    p0 = geom_row[:, 0:3]
+    p1 = geom_row[:, 3:6]
+    p2 = geom_row[:, 6:9]
+    ptype = geom_row[:, 9]
+
+    point = o + t[..., None] * d
+    sph_n = vm.normalize(point - p0)
+    tri_n = vm.normalize(vm.cross(p1 - p0, p2 - p0))
+    normal = vm.where3(ptype == PRIM_SPHERE, sph_n, tri_n)
+    front_face = vm.dot(normal, d) < 0.0
+    normal = vm.where3(front_face, normal, -normal)
+    return point, normal, front_face
+
+
 def surface_interaction(scene, o, d, t, prim_idx):
     """Recompute hit point / geometric normal / front-face flag for winning
     hits (reference computes these inline during traversal,

@@ -1,0 +1,81 @@
+"""The MXU matmul intersector must agree with the oracle intersectors.
+
+Runs in Pallas interpret mode on CPU (the same kernel compiles for TPU).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metalpathtracer_tpu.render import Camera, RenderConfig, render_image, upload_scene
+from metalpathtracer_tpu.render.intersect import closest_hit_bruteforce
+from metalpathtracer_tpu.render.pallas.intersect_mm import closest_hit_mm
+from metalpathtracer_tpu.scene import HostScene, Material, load_scene_xml, presets
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def random_rays(n, seed=0, origin_span=30.0, center=(0, 20, 40)):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-origin_span, origin_span, (n, 3)).astype(np.float32)
+    o += np.asarray(center, np.float32)
+    d = r.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n", [64, 700, 2048])
+def test_mm_matches_bruteforce_bunny(n):
+    scene = upload_scene(load_scene_xml(os.path.join(REPO, "scenes", "reference.xml")))
+    o, d = random_rays(n, seed=n)
+    t0, i0 = closest_hit_bruteforce(scene, o, d)
+    t1, i1 = closest_hit_mm(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    f = np.isfinite(np.asarray(t0))
+    assert f.sum() > n // 10
+    # refinement recomputes t with the oracle formula; residual diffs are
+    # f32 FMA-contraction rounding on the giant ground sphere's quadratic
+    np.testing.assert_allclose(
+        np.asarray(t1)[f], np.asarray(t0)[f], rtol=5e-4, atol=1e-2
+    )
+
+
+def test_mm_giant_sphere_precision():
+    # r=10000 ground sphere: |c|^2 ~ 1e8 would swamp f32 in the raw matmul
+    # form; the refinement pass must restore exact t.
+    s = HostScene()
+    s.add_sphere((0, -10000, 0), 10000.0, Material())
+    scene = upload_scene(s)
+    o = jnp.array([[0.0, 5.0, 0.0]] * 4)
+    d = jnp.asarray(
+        np.array([[0, -1, 0], [0.6, -0.8, 0], [0, -0.7071, 0.7071], [1, 0, 0]],
+                 np.float32)
+    )
+    t, idx = closest_hit_mm(scene, o, d)
+    t = np.asarray(t)
+    np.testing.assert_allclose(t[0], 5.0, atol=1e-3)
+    assert int(idx[3]) == -1  # horizontal ray misses
+    # oracle agreement
+    t0, i0 = closest_hit_bruteforce(scene, o, d)
+    np.testing.assert_allclose(t[:3], np.asarray(t0)[:3], rtol=1e-6)
+
+
+def test_mm_in_integrator_matches_brute_render():
+    scene = upload_scene(presets.cornell_spheres())
+    cam = Camera.look_at((0, 2.5, 9.0), (0, 2.5, 0), vfov_deg=40.0)
+    a, _ = render_image(scene, cam, 24, 24, spp=2, seed=5,
+                        cfg=RenderConfig(max_depth=6, intersector="brute"))
+    b, _ = render_image(scene, cam, 24, 24, spp=2, seed=5,
+                        cfg=RenderConfig(max_depth=6, intersector="mm"))
+    # same hits + same RNG streams + exact refined t → identical radiance up
+    # to ordering slop in the intersection comparison
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_auto_selects_mm_for_small_scene():
+    from metalpathtracer_tpu.render.integrator import MM_MAX_PRIMS
+
+    scene = upload_scene(presets.cornell_spheres())
+    assert scene.mm_wa.shape[1] <= MM_MAX_PRIMS  # auto → mm path
