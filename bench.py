@@ -28,7 +28,11 @@ def main() -> int:
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
 
-    from metalpathtracer_tpu.render import Camera, render_image, upload_scene
+    from metalpathtracer_tpu.render import (
+        Camera,
+        render_image_wavefront,
+        upload_scene,
+    )
     from metalpathtracer_tpu.render.integrator import RenderConfig
     from metalpathtracer_tpu.scene import load_scene_xml
 
@@ -42,14 +46,14 @@ def main() -> int:
     spp = 4
 
     # warmup / compile
-    img, rays = render_image(scene, camera, width, height, 1, seed=0, cfg=cfg)
+    img, rays = render_image_wavefront(scene, camera, width, height, spp, seed=0, cfg=cfg)
     jax.block_until_ready(img)
 
-    # timed: average of repeated passes
+    # timed: best of repeated passes
     best = 0.0
     for rep in range(3):
         t0 = time.perf_counter()
-        img, rays = render_image(
+        img, rays = render_image_wavefront(
             scene, camera, width, height, spp, seed=rep + 1, cfg=cfg
         )
         jax.block_until_ready(img)

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clamp", action="store_true",
                    help="reference-faithful per-sample [0,1] clamp")
     p.add_argument("--spp-per-pass", type=int, default=None)
+    p.add_argument("--wavefront", action="store_true",
+                   help="persistent-wavefront integrator with lane "
+                        "regeneration (fastest on open scenes)")
+    p.add_argument("--pool-size", type=int, default=None,
+                   help="wavefront lane-pool size (default: auto)")
     p.add_argument("--checkpoint", default=None,
                    help="progressive checkpoint path (save after each pass)")
     p.add_argument("--resume", action="store_true",
@@ -152,6 +157,14 @@ def main(argv=None) -> int:
             print(f"checkpoint at {int(state.spp)}/{args.spp} spp", file=sys.stderr)
         img = np.asarray(to_image(state, clamp=False))
         rays = None
+    elif args.wavefront:
+        from metalpathtracer_tpu.render import render_image_wavefront
+
+        img, rays = render_image_wavefront(
+            scene, cam, args.width, args.height, args.spp,
+            seed=args.seed, cfg=cfg, pool_size=args.pool_size,
+        )
+        img = np.asarray(img)
     else:
         img, rays = render_image(
             scene, cam, args.width, args.height, args.spp,

@@ -12,6 +12,7 @@ from metalpathtracer_tpu.render.pipeline import (
     generate_rays,
     init_accum,
     render_image,
+    render_image_wavefront,
     to_image,
 )
 
@@ -29,6 +30,7 @@ __all__ = [
     "accumulate",
     "init_accum",
     "render_image",
+    "render_image_wavefront",
     "to_image",
     "generate_rays",
 ]

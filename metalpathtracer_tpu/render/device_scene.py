@@ -55,6 +55,12 @@ class DeviceScene:
     # mat:  [albedo(3), material_type, emission(3), power, fuzz, 0, ...]
     geom_table: jax.Array  # float32 (P, 16)
     mat_table: jax.Array  # float32 (P, 16)
+    # material-bank indirection: scenes have few DISTINCT materials (one per
+    # mesh/sphere), so the per-bounce material fetch becomes a 4-byte id
+    # gather + a one-hot (N, M) @ (M, 16) matmul on the MXU instead of a
+    # 64-byte row gather.
+    prim_mat_id: jax.Array  # int32 (P,)
+    mat_bank: jax.Array  # float32 (M, 16), M padded to 8
     # static metadata (not traced)
     num_real: int = dataclasses.field(metadata=dict(static=True))
     max_depth: int = dataclasses.field(metadata=dict(static=True))
@@ -90,6 +96,12 @@ def upload_scene(
     mat[:, 7] = packed.emission_power
     mat[:, 8] = packed.fuzz
 
+    mat_bank, prim_mat_id = np.unique(mat, axis=0, return_inverse=True)
+    pad_m = (-mat_bank.shape[0]) % 8
+    mat_bank = np.concatenate(
+        [mat_bank, np.zeros((pad_m, 16), np.float32)]
+    ).astype(np.float32)
+
     return DeviceScene(
         prim_type=jax.numpy.asarray(packed.prim_type),
         p0=jax.numpy.asarray(packed.p0),
@@ -116,6 +128,8 @@ def upload_scene(
         sph_ids=jax.numpy.asarray(w["sph_ids"]),
         geom_table=jax.numpy.asarray(geom),
         mat_table=jax.numpy.asarray(mat),
+        prim_mat_id=jax.numpy.asarray(prim_mat_id.astype(np.int32)),
+        mat_bank=jax.numpy.asarray(mat_bank),
         num_real=int(packed.num_real),
         max_depth=int(bvh.max_depth),
         num_tris=int(w["n_tris"]),

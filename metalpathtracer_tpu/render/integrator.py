@@ -50,6 +50,13 @@ class RenderConfig:
     # VMEM and BVH traversal beyond; "bvh" / "mm" / "brute" force a path.
     intersector: str = "auto"
     brute_chunk: int = 128
+    # wavefront lane sorting: reorder the pool each iteration so live lanes
+    # compact to the front and nearby rays share blocks. Measured on v5e:
+    # the argsort + state-permutation gathers cost MORE than the improved
+    # tile culling saves (28 -> 7 Mrays/s on the Cornell box), so this stays
+    # off; kept as a switch for future cheaper partition schemes. Positional
+    # RNG makes the estimate invariant to any lane permutation.
+    sort_lanes: bool = False
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
     nee: bool = False  # next-event estimation for emissive spheres
@@ -63,18 +70,41 @@ MM_MAX_PRIMS = 8192  # beyond this the brute-force matmul loses to traversal
 
 
 def _trace_rays(scene, o, d, cfg, active=None):
+    """Closest hit + surface frame: (t, idx, normal, front_face)."""
     kind = cfg.intersector
     if kind == "auto":
         kind = "mm" if scene.mm_wa.shape[1] <= MM_MAX_PRIMS else "bvh"
     if kind == "mm":
-        from metalpathtracer_tpu.render.pallas.intersect_mm import closest_hit_mm
+        from metalpathtracer_tpu.render.pallas.intersect_mm import (
+            closest_hit_mm_full,
+        )
 
-        return closest_hit_mm(scene, o, d, T_MIN, active=active)
+        return closest_hit_mm_full(scene, o, d, T_MIN, active=active)
     if kind == "bvh":
-        return closest_hit_bvh(scene, o, d, T_MIN)
-    if kind == "brute":
-        return closest_hit_bruteforce(scene, o, d, T_MIN, chunk=cfg.brute_chunk)
-    raise ValueError(f"unknown intersector {cfg.intersector!r}")
+        t, idx = closest_hit_bvh(scene, o, d, T_MIN)
+    elif kind == "brute":
+        t, idx = closest_hit_bruteforce(scene, o, d, T_MIN, chunk=cfg.brute_chunk)
+    else:
+        raise ValueError(f"unknown intersector {cfg.intersector!r}")
+    geom_row = scene.geom_table[jnp.maximum(idx, 0)]
+    _, normal, front_face = surface_interaction_packed(geom_row, o, d, t)
+    return t, idx, normal, front_face
+
+
+def _fetch_material(scene, idx):
+    """Per-hit material row. With a small material bank this is a 4-byte id
+    gather + one-hot (N, M) @ (M, 16) on the MXU; the direct 64-byte row
+    gather is the fallback for exotic scenes with >128 distinct materials."""
+    midx = jnp.maximum(idx, 0)
+    m = scene.mat_bank.shape[0]
+    if m <= 128:
+        mid = scene.prim_mat_id[midx]
+        onehot = (mid[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :])
+        return jnp.dot(
+            onehot.astype(jnp.float32), scene.mat_bank,
+            preferred_element_type=jnp.float32,
+        )
+    return scene.mat_table[midx]
 
 
 def _sample_light_sphere(scene, point, u1, u2):
@@ -117,6 +147,89 @@ def _sample_light_sphere(scene, point, u1, u2):
     return dir_out, dist, emission, inv_pdf, light, valid
 
 
+def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
+                 pixel_id, sample_id, bounce, seed, cfg):
+    """Advance every lane one bounce (shared by the scan integrator and the
+    regeneration wavefront). `bounce` may be a scalar or a per-lane (N,)
+    array; RNG draws key on it either way. Returns
+    (o, d, light, throughput, still_active, prev_spec, rays_counted)."""
+    rays_counted = jnp.sum(active, dtype=jnp.int32)
+
+    t, idx, normal, front_face = _trace_rays(scene, o, d, cfg, active=active)
+    miss = idx < 0
+
+    # --- sky on miss (PathTracing.h:225-231) ---
+    sky = bsdf.sky_color(d)
+    light = light + jnp.where((active & miss)[:, None], throughput * sky, 0.0)
+
+    hit_live = active & ~miss
+    point = o + t[:, None] * d
+    mat_row = _fetch_material(scene, idx)
+    albedo = mat_row[:, 0:3]
+    mat_type = mat_row[:, 3]
+    emission = mat_row[:, 4:7]
+    power = mat_row[:, 7]
+    fuzz = mat_row[:, 8]
+
+    # --- emissive accumulation (PathTracing.h:245-249) ---
+    emissive = bsdf.is_emissive(mat_type, power)
+    if cfg.nee:
+        # with NEE, BSDF-found emission only counts on camera hits or after
+        # a specular bounce; diffuse bounces get their light from the
+        # explicit light sample instead (no double counting).
+        count_emission = hit_live & emissive & prev_spec
+    else:
+        count_emission = hit_live & emissive
+    light = light + jnp.where(
+        count_emission[:, None], throughput * emission * power[:, None], 0.0
+    )
+
+    # --- next-event estimation (extension; BASELINE config 4) ---
+    if cfg.nee:
+        ul1, ul2 = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.PURPOSE_LIGHT)
+        ldir, ldist, lrad, inv_pdf, lidx, lvalid = _sample_light_sphere(
+            scene, point, ul1, ul2
+        )
+        is_diffuse = (mat_type == 0.0) | (mat_type == 2.0)
+        cos_s = vm.dot(normal, ldir)
+        cand = hit_live & is_diffuse & (cos_s > 0.0) & lvalid & ~emissive
+        s_o = point + (1e-3) * normal
+        st, sidx, _, _ = _trace_rays(scene, s_o, ldir, cfg, active=cand)
+        rays_counted = rays_counted + jnp.sum(cand, dtype=jnp.int32)
+        lit = cand & (sidx == lidx)
+        # Lambertian BRDF albedo/pi, cosine term, cone inv-pdf
+        contrib = (
+            throughput * albedo * lrad * (cos_s * inv_pdf / jnp.pi)[..., None]
+        )
+        light = light + jnp.where(lit[:, None], contrib, 0.0)
+
+    # --- scatter (PathTracing.h:251-256, Scatter.h wired) ---
+    unit_vec = rng.random_unit_vector(seed, pixel_id, sample_id, bounce)
+    u_fres = rng.uniform1(seed, pixel_id, sample_id, bounce, rng.PURPOSE_FRESNEL)
+    d_out, offset_sign = bsdf.sample_bsdf(
+        d, normal, front_face, mat_type, fuzz, unit_vec, u_fres
+    )
+    new_o = point + (1e-4 * offset_sign)[..., None] * normal
+    new_tp = throughput * albedo
+
+    # --- Russian roulette (extension; unbiased early termination) ---
+    if cfg.rr_start > 0:
+        u_rr = rng.uniform1(seed, pixel_id, sample_id, bounce, rng.PURPOSE_RR)
+        p = jnp.clip(jnp.max(new_tp, axis=-1), 0.05, 1.0)
+        do_rr = bounce >= cfg.rr_start  # scalar or per-lane
+        scale = jnp.where(do_rr, 1.0 / p, 1.0)
+        new_tp = new_tp * scale[..., None]
+        survive = (~do_rr) | (u_rr < p)
+        hit_live = hit_live & survive
+
+    is_specular = (mat_type < 0.0) | ((mat_type > 0.0) & (mat_type != 2.0))
+    o = vm.where3(hit_live, new_o, o)
+    d = vm.where3(hit_live, d_out, d)
+    throughput = jnp.where(hit_live[:, None], new_tp, throughput)
+    prev_spec = jnp.where(hit_live, is_specular, prev_spec)
+    return o, d, light, throughput, hit_live, prev_spec, rays_counted
+
+
 def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CONFIG):
     """Trace one path per lane to completion.
 
@@ -138,7 +251,7 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
     # must still collect BSDF-found emission under NEE (no light-sample
     # covers a delta lobe).
     prev_spec = jnp.ones((n,), bool)  # bounce 0 counts as "specular" (camera)
-    rays_traced = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    rays_traced = jnp.zeros((), jnp.int32)
 
     def cond(state):
         bounce, _, _, _, _, active, _, _ = state
@@ -146,88 +259,12 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
 
     def body(state):
         bounce, o, d, light, throughput, active, prev_spec, rays_traced = state
-        rays_traced = rays_traced + jnp.sum(active, dtype=rays_traced.dtype)
-
-        t, idx = _trace_rays(scene, o, d, cfg, active=active)
-        miss = idx < 0
-
-        # --- sky on miss (PathTracing.h:225-231) ---
-        sky = bsdf.sky_color(d)
-        light = light + jnp.where((active & miss)[:, None], throughput * sky, 0.0)
-
-        hit_live = active & ~miss
-        midx = jnp.maximum(idx, 0)
-        # two packed gathers per bounce (geometry + material) instead of ~10
-        geom_row = scene.geom_table[midx]
-        mat_row = scene.mat_table[midx]
-        point, normal, front_face = surface_interaction_packed(geom_row, o, d, t)
-        albedo = mat_row[:, 0:3]
-        mat_type = mat_row[:, 3]
-        emission = mat_row[:, 4:7]
-        power = mat_row[:, 7]
-        fuzz = mat_row[:, 8]
-
-        # --- emissive accumulation (PathTracing.h:245-249) ---
-        emissive = bsdf.is_emissive(mat_type, power)
-        if cfg.nee:
-            # with NEE, BSDF-found emission only counts on camera hits or
-            # after a specular bounce; diffuse bounces get their light from
-            # the explicit light sample instead (no double counting).
-            count_emission = hit_live & emissive & prev_spec
-        else:
-            count_emission = hit_live & emissive
-        light = light + jnp.where(
-            count_emission[:, None], throughput * emission * power[:, None], 0.0
+        o, d, light, throughput, active, prev_spec, counted = _bounce_step(
+            scene, o, d, light, throughput, active, prev_spec,
+            pixel_id, sample_id, bounce, seed, cfg,
         )
-
-        # --- next-event estimation (extension; BASELINE config 4) ---
-        if cfg.nee:
-            ul1, ul2 = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.PURPOSE_LIGHT)
-            ldir, ldist, lrad, inv_pdf, lidx, lvalid = _sample_light_sphere(
-                scene, point, ul1, ul2
-            )
-            is_diffuse = (mat_type == 0.0) | (mat_type == 2.0)
-            cos_s = vm.dot(normal, ldir)
-            cand = hit_live & is_diffuse & (cos_s > 0.0) & lvalid & ~emissive
-            s_o = point + (1e-3) * normal
-            st, sidx = _trace_rays(scene, s_o, ldir, cfg)
-            rays_traced = rays_traced + jnp.sum(cand, dtype=rays_traced.dtype)
-            lit = cand & (sidx == lidx)
-            # Lambertian BRDF albedo/pi, cosine term, cone inv-pdf
-            contrib = (
-                throughput
-                * albedo
-                * lrad
-                * (cos_s * inv_pdf / jnp.pi)[..., None]
-            )
-            light = light + jnp.where(lit[:, None], contrib, 0.0)
-
-        # --- scatter (PathTracing.h:251-256, Scatter.h wired) ---
-        unit_vec = rng.random_unit_vector(seed, pixel_id, sample_id, bounce)
-        u_fres = rng.uniform1(seed, pixel_id, sample_id, bounce, rng.PURPOSE_FRESNEL)
-        d_out, offset_sign = bsdf.sample_bsdf(
-            d, normal, front_face, mat_type, fuzz, unit_vec, u_fres
-        )
-        new_o = point + (1e-4 * offset_sign)[..., None] * normal
-        new_tp = throughput * albedo
-
-        # --- Russian roulette (extension; unbiased early termination) ---
-        if cfg.rr_start > 0:
-            u_rr = rng.uniform1(seed, pixel_id, sample_id, bounce, rng.PURPOSE_RR)
-            p = jnp.clip(jnp.max(new_tp, axis=-1), 0.05, 1.0)
-            do_rr = bounce >= cfg.rr_start  # scalar: bounce is the loop counter
-            scale = jnp.where(do_rr, 1.0 / p, 1.0)
-            new_tp = new_tp * scale[..., None]
-            survive = (~do_rr) | (u_rr < p)
-            hit_live = hit_live & survive
-
-        is_specular = (mat_type < 0.0) | ((mat_type > 0.0) & (mat_type != 2.0))
-        o = vm.where3(hit_live, new_o, o)
-        d = vm.where3(hit_live, d_out, d)
-        throughput = jnp.where(hit_live[:, None], new_tp, throughput)
-        prev_spec = jnp.where(hit_live, is_specular, prev_spec)
-        active = hit_live
-        return bounce + 1, o, d, light, throughput, active, prev_spec, rays_traced
+        return (bounce + 1, o, d, light, throughput, active, prev_spec,
+                rays_traced + counted)
 
     _, _, _, light, _, _, _, rays_traced = jax.lax.while_loop(
         cond,
@@ -237,3 +274,133 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
     if cfg.clamp_radiance:
         light = jnp.clip(light, 0.0, 1.0)
     return light, rays_traced
+
+
+def trace_wavefront(scene, camera, width, height, spp, seed,
+                    cfg: RenderConfig = DEFAULT_CONFIG,
+                    pool_size: int | None = None):
+    """Persistent-wavefront path tracing with lane regeneration.
+
+    The scan integrator (`trace`) keeps one lane per pixel-sample and wastes
+    every terminated lane until the whole batch drains — fine for enclosed
+    scenes, terrible for open ones where most paths die on bounce 1. Here a
+    fixed pool of lanes processes the (pixel, sample) work queue: when a
+    path terminates, its radiance is scatter-added to the framebuffer and
+    the lane immediately restarts on the next queued sample, so every
+    iteration traces a DENSE pool. This is the stream-compaction design of
+    the north star without dynamic shapes: work ids are dense counters,
+    positions come from a cumulative sum over terminated lanes.
+
+    Determinism: RNG streams are keyed on (pixel, sample, bounce), never on
+    the lane, so the estimate equals `trace` exactly up to framebuffer
+    addition order.
+
+    Returns (rgb_sum (H*W, 3), rays_traced) — divide by spp for the image.
+    """
+    from metalpathtracer_tpu.render.pipeline import generate_rays
+
+    n_pix = width * height
+    total = n_pix * spp
+    if pool_size is None:
+        pool_size = min(total, 1 << 18)
+    pool = int(pool_size)
+
+    def items_to_rays(item):
+        pixel = (item % jnp.uint32(n_pix)).astype(jnp.uint32)
+        sample = (item // jnp.uint32(n_pix)).astype(jnp.uint32)
+        o, d = generate_rays(camera, width, height, pixel, sample, seed)
+        return pixel, sample, o, d
+
+    item0 = jnp.arange(pool, dtype=jnp.uint32)
+    pixel, sample, o, d = items_to_rays(item0)
+    state = dict(
+        pixel=pixel,
+        sample=sample,
+        o=o,
+        d=d,
+        bounce=jnp.zeros((pool,), jnp.int32),
+        light=jnp.zeros((pool, 3), jnp.float32),
+        tp=jnp.ones((pool, 3), jnp.float32),
+        prev_spec=jnp.ones((pool,), bool),
+        alive=item0 < total,
+        fb=jnp.zeros((n_pix, 3), jnp.float32),
+        next_item=jnp.uint32(min(pool, total)),
+        rays=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(st):
+        return jnp.any(st["alive"])
+
+    def body(st):
+        alive = st["alive"]
+        o, d, light, tp, still, prev_spec, counted = _bounce_step(
+            scene, st["o"], st["d"], st["light"], st["tp"], alive,
+            st["prev_spec"], st["pixel"], st["sample"], st["bounce"], seed, cfg,
+        )
+        bounce_next = st["bounce"] + 1
+        survivors = still & (bounce_next < cfg.max_depth)
+        term = alive & ~survivors
+
+        # flush terminated paths into the framebuffer
+        flushed = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
+        fb = st["fb"].at[st["pixel"]].add(
+            jnp.where(term[:, None], flushed, 0.0)
+        )
+
+        # regenerate: dense position among terminated lanes → next work item
+        slot = jnp.cumsum(term.astype(jnp.uint32)) - 1
+        new_item = st["next_item"] + slot
+        regen = term & (new_item < total)
+        npix, nsamp, no, nd = items_to_rays(jnp.where(regen, new_item, 0))
+
+        pixel = jnp.where(regen, npix, st["pixel"])
+        sample = jnp.where(regen, nsamp, st["sample"])
+        o = vm.where3(regen, no, o)
+        d = vm.where3(regen, nd, d)
+        light = jnp.where(regen[:, None], 0.0, light)
+        tp = jnp.where(regen[:, None], 1.0, tp)
+        bounce = jnp.where(regen, 0, bounce_next)
+        prev_spec = jnp.where(regen, True, prev_spec)
+        alive = survivors | regen
+        next_item = jnp.minimum(
+            st["next_item"] + jnp.sum(term, dtype=jnp.uint32), jnp.uint32(total)
+        )
+
+        if cfg.sort_lanes:
+            # coherence key: dead lanes last; live lanes grouped by direction
+            # octant then coarse origin cell (scene-root-AABB morton)
+            span = jnp.maximum(scene.node_hi[0] - scene.node_lo[0], 1e-6)
+            q = jnp.clip(
+                (o - scene.node_lo[0]) / span * 15.0, 0.0, 15.0
+            ).astype(jnp.uint32)
+            octant = (
+                (d[:, 0] > 0).astype(jnp.uint32)
+                | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
+            )
+            key = (
+                jnp.where(alive, jnp.uint32(0), jnp.uint32(1) << 31)
+                | (octant << 12)
+                | (q[:, 0] << 8)
+                | (q[:, 1] << 4)
+                | q[:, 2]
+            )
+            perm = jnp.argsort(key)
+            pixel = pixel[perm]
+            sample = sample[perm]
+            o = o[perm]
+            d = d[perm]
+            bounce = bounce[perm]
+            light = light[perm]
+            tp = tp[perm]
+            prev_spec = prev_spec[perm]
+            alive = alive[perm]
+
+        return dict(
+            pixel=pixel, sample=sample, o=o, d=d, bounce=bounce, light=light,
+            tp=tp, prev_spec=prev_spec, alive=alive, fb=fb,
+            next_item=next_item, rays=st["rays"] + counted,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["fb"], final["rays"]

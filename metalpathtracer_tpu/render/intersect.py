@@ -167,8 +167,8 @@ def closest_hit_bruteforce(scene, o, d, t_min=T_MIN, chunk: int = 128):
 
 def surface_interaction_packed(geom_row, o, d, t):
     """Like `surface_interaction` but from a pre-gathered (N, 16) row of
-    `scene.geom_table` — the wavefront pays ONE gather per bounce instead of
-    four (gathers are the dominant per-bounce cost on TPU)."""
+    `scene.geom_table` — ONE gather instead of four. Returns
+    (point, normal, front_face)."""
     p0 = geom_row[:, 0:3]
     p1 = geom_row[:, 3:6]
     p2 = geom_row[:, 6:9]

@@ -287,7 +287,8 @@ def _tri_hit_mm_padded(x, active, wa, wu, wv, wt, tile_box,
 
 def _sphere_hit_exact(scene, o, d, t_min):
     """Exact dense sphere pass: (N, S) oracle quadratic (oc = o - c first, no
-    cancellation). S is small — the mesh carries the primitive count."""
+    cancellation). S is small — the mesh carries the primitive count.
+    Returns (t, idx, slot) — slot indexes the sphere SoA for normal lookup."""
     from metalpathtracer_tpu.render.intersect import ray_sphere
 
     t = ray_sphere(
@@ -301,21 +302,27 @@ def _sphere_hit_exact(scene, o, d, t_min):
     t_best = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
     idx = scene.sph_ids[j]
     idx = jnp.where(jnp.isinf(t_best), -1, idx)
-    return t_best, idx
+    return t_best, idx, j
 
 
-def closest_hit_mm(scene, o, d, t_min=T_MIN, active=None):
+def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
     """Closest hit: MXU triangle kernel + exact sphere pass, merged.
 
-    Same contract as `traverse.closest_hit_bvh`: returns (t (N,), idx (N,))
-    with idx -1 on miss. Requires the `scene.mm_*`/`scene.sph_*` tables
-    built in `upload_scene`. `active` (N,) bool lets the kernel skip ray
-    blocks whose lanes have all terminated (wavefront early-out).
+    Returns (t, idx, normal, front_face) — the surface frame is computed
+    here from data already gathered for refinement, so the integrator pays
+    NO geometry gather. idx is -1 on miss (normal is garbage there; callers
+    mask). `active` (N,) bool lets the kernel skip ray blocks whose lanes
+    have all terminated (wavefront early-out).
     """
+    from metalpathtracer_tpu.core import vecmath as vm
     from metalpathtracer_tpu.render.intersect import ray_triangle
 
     n = o.shape[0]
-    t_s, i_s = _sphere_hit_exact(scene, o, d, t_min)
+    t_s, i_s, slot = _sphere_hit_exact(scene, o, d, t_min)
+    # sphere normal from the tiny SoA (S rows, not P)
+    c = scene.sph_center[slot]
+    sph_point = o + t_s[:, None] * d
+    sph_n = vm.normalize(sph_point - c)
 
     if scene.num_tris > 0:
         pad = (-n) % BLOCK_R
@@ -335,19 +342,32 @@ def closest_hit_mm(scene, o, d, t_min=T_MIN, active=None):
         t_t, col = t_t[:n], col[:n]
         i_t = scene.mm_tri_ids[jnp.maximum(col, 0)]
 
-        # re-refine the winning triangle's t with the sequential formula
+        # re-refine the winning triangle's t with the sequential formula and
+        # reuse the gathered vertices for the geometric normal
         widx = jnp.maximum(i_t, 0)
-        t_exact = ray_triangle(
-            o, d, scene.p0[widx], scene.p1[widx], scene.p2[widx], t_min
-        )
+        v0 = scene.p0[widx]
+        v1 = scene.p1[widx]
+        v2 = scene.p2[widx]
+        t_exact = ray_triangle(o, d, v0, v1, v2, t_min)
         tri_hit = (col >= 0) & jnp.isfinite(t_t) & jnp.isfinite(t_exact)
         t_t = jnp.where(tri_hit, t_exact, jnp.inf)
         i_t = jnp.where(tri_hit, i_t, -1)
+        tri_n = vm.normalize(vm.cross(v1 - v0, v2 - v0))
     else:
         t_t = jnp.full((n,), jnp.inf)
         i_t = jnp.full((n,), -1, jnp.int32)
+        tri_n = jnp.zeros_like(o)
 
     tri_wins = t_t < t_s
     t = jnp.where(tri_wins, t_t, t_s)
     idx = jnp.where(tri_wins, i_t, i_s)
+    normal = vm.where3(tri_wins, tri_n, sph_n)
+    front_face = vm.dot(normal, d) < 0.0
+    normal = vm.where3(front_face, normal, -normal)
+    return t, idx, normal, front_face
+
+
+def closest_hit_mm(scene, o, d, t_min=T_MIN, active=None):
+    """(t, idx)-only contract, matching `traverse.closest_hit_bvh`."""
+    t, idx, _, _ = closest_hit_mm_full(scene, o, d, t_min, active)
     return t, idx

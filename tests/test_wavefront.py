@@ -1,0 +1,79 @@
+"""The regeneration wavefront must compute EXACTLY the scan integrator's
+estimate — RNG streams are positional, so lane assignment cannot matter."""
+
+import numpy as np
+import pytest
+
+from metalpathtracer_tpu.render import (
+    Camera,
+    RenderConfig,
+    render_image,
+    render_image_wavefront,
+    upload_scene,
+)
+from metalpathtracer_tpu.scene import presets
+
+CAM = Camera.look_at((0, 2.5, 9.0), (0, 2.5, 0), vfov_deg=40.0)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return upload_scene(presets.cornell_spheres())
+
+
+def test_wavefront_matches_scan(cornell):
+    cfg = RenderConfig(max_depth=6)
+    a, ra = render_image(cornell, CAM, 24, 24, spp=4, seed=5, cfg=cfg)
+    b, rb = render_image_wavefront(
+        cornell, CAM, 24, 24, spp=4, seed=5, cfg=cfg, pool_size=512
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    assert ra == rb  # identical rays traced
+
+
+def test_wavefront_pool_size_invariant(cornell):
+    cfg = RenderConfig(max_depth=4)
+    imgs = []
+    for pool in (256, 1024, 24 * 24 * 2):
+        img, _ = render_image_wavefront(
+            cornell, CAM, 24, 24, spp=2, seed=9, cfg=cfg, pool_size=pool
+        )
+        imgs.append(np.asarray(img))
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(imgs[0], imgs[2], rtol=1e-5, atol=1e-6)
+
+
+def test_wavefront_with_rr_and_nee(cornell):
+    cfg = RenderConfig(max_depth=8, rr_start=2, nee=True)
+    a, _ = render_image(cornell, CAM, 16, 16, spp=4, seed=3, cfg=cfg)
+    b, _ = render_image_wavefront(
+        cornell, CAM, 16, 16, spp=4, seed=3, cfg=cfg, pool_size=333
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_wavefront_open_scene(cornell):
+    # open scene: most paths terminate on bounce 1 — regeneration keeps the
+    # pool dense and the result identical
+    scene = upload_scene(presets.reference_default())
+    cam = Camera.reset()
+    cfg = RenderConfig(max_depth=8)
+    a, ra = render_image(scene, cam, 32, 18, spp=2, seed=1, cfg=cfg)
+    b, rb = render_image_wavefront(
+        scene, cam, 32, 18, spp=2, seed=1, cfg=cfg, pool_size=128
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    assert ra == rb
+
+
+def test_wavefront_clamp(cornell):
+    cfg = RenderConfig(max_depth=4, clamp_radiance=True)
+    img, _ = render_image_wavefront(
+        cornell, CAM, 16, 16, spp=2, seed=4, cfg=cfg, pool_size=256
+    )
+    assert float(np.asarray(img).max()) <= 1.0
+
+
+def test_wavefront_rejects_bad_spp(cornell):
+    with pytest.raises(ValueError):
+        render_image_wavefront(cornell, CAM, 8, 8, spp=0)
