@@ -1,0 +1,83 @@
+"""Fidelity gate: RMSE between estimators at matched vs converged spp.
+
+BASELINE.md: "pixel RMSE < 1e-3 vs the reference estimator at 1024 spp on a
+Cornell box". The reference binary can't run here (macOS Metal), so the gate
+is estimator-vs-estimator: the naive path (exactly the reference's
+semantics: Lambertian + emissive-continue + sky, depth 32) converged at high
+spp is the ground truth; the production estimator (NEE + RR) must agree
+within the RMSE budget. Any bias in either estimator shows up as a floor
+the RMSE refuses to cross as spp grows.
+
+    python benchmarks/fidelity.py [--spp-ref 1024] [--spp-test 1024] [--res 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp-ref", type=int, default=1024)
+    ap.add_argument("--spp-test", type=int, default=1024)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--gate", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from metalpathtracer_tpu.render import (
+        Camera,
+        RenderConfig,
+        render_image_wavefront,
+        upload_scene,
+    )
+    from metalpathtracer_tpu.scene import presets
+    from metalpathtracer_tpu.utils import rmse
+
+    scene = upload_scene(presets.cornell_spheres())
+    cam = Camera.look_at((0, 2.5, 9.0), (0, 2.5, 0), vfov_deg=40.0)
+    r = args.res
+
+    t0 = time.perf_counter()
+    ref_img, _ = render_image_wavefront(
+        scene, cam, r, r, args.spp_ref, seed=1,
+        cfg=RenderConfig(max_depth=32),  # the reference's exact estimator
+    )
+    jax.block_until_ready(ref_img)
+    t_ref = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    test_img, _ = render_image_wavefront(
+        scene, cam, r, r, args.spp_test, seed=2,
+        cfg=RenderConfig(max_depth=32, nee=True, rr_start=4),
+    )
+    jax.block_until_ready(test_img)
+    t_test = time.perf_counter() - t0
+
+    err = rmse(np.asarray(test_img), np.asarray(ref_img))
+    rec = {
+        "metric": "RMSE (NEE+RR vs naive reference estimator, Cornell box)",
+        "resolution": f"{r}x{r}",
+        "spp_ref": args.spp_ref,
+        "spp_test": args.spp_test,
+        "rmse": round(err, 6),
+        "gate": args.gate,
+        "pass": bool(err < args.gate),
+        "seconds_ref": round(t_ref, 2),
+        "seconds_test": round(t_test, 2),
+    }
+    print(json.dumps(rec))
+    return 0 if rec["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

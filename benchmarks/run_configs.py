@@ -1,0 +1,108 @@
+"""Run the five BASELINE.json milestone configs and report a JSON table.
+
+    1. Cornell box, analytic spheres, 256x256, diffuse, 64 spp (CPU-runnable)
+    2. Cornell + one OBJ mesh, flat triangle list, 512x512, 128 spp
+    3. Bunny-scale mesh, glossy+specular, 8 bounces
+    4. Dielectric + emissive light, NEE + Russian roulette, 1024 spp
+    5. 1080p multi-mesh, tile-sharded progressive accumulation
+
+Usage:  python benchmarks/run_configs.py [--quick] [--configs 1,2,3]
+`--quick` scales spp down ~16x for smoke runs. Images land in runs/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def scene_path(name: str) -> str:
+    return os.path.join(REPO, "scenes", name)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="~16x fewer spp")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--out-dir", default=os.path.join(REPO, "runs"))
+    args = ap.parse_args()
+    wanted = {int(c) for c in args.configs.split(",")}
+
+    import jax
+
+    from metalpathtracer_tpu.io import write_png
+    from metalpathtracer_tpu.render import (
+        Camera,
+        RenderConfig,
+        render_image_wavefront,
+        upload_scene,
+    )
+    from metalpathtracer_tpu.scene import load_scene_xml
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    div = 16 if args.quick else 1
+    cam_cornell = Camera.look_at((0, 2.5, 9.0), (0, 2.5, 0), vfov_deg=40.0)
+
+    configs = {
+        1: dict(scene="cornell.xml", cam=cam_cornell, w=256, h=256,
+                spp=max(1, 64 // div), cfg=RenderConfig(max_depth=16)),
+        2: dict(scene="cornell_mesh.xml", cam=cam_cornell, w=512, h=512,
+                spp=max(1, 128 // div),
+                cfg=RenderConfig(max_depth=16, intersector="mm")),
+        3: dict(scene="reference.xml", cam=Camera.reset(), w=512, h=512,
+                spp=max(1, 64 // div), cfg=RenderConfig(max_depth=8)),
+        4: dict(scene="cornell_glass.xml", cam=cam_cornell, w=512, h=512,
+                spp=max(4, 1024 // div),
+                cfg=RenderConfig(max_depth=16, nee=True, rr_start=3)),
+        5: dict(scene="multimesh.xml", cam=Camera.reset(), w=1920, h=1080,
+                spp=max(1, 16 // div), cfg=RenderConfig(max_depth=8),
+                shard=True),
+    }
+
+    results = []
+    for idx in sorted(wanted):
+        c = configs[idx]
+        scene = upload_scene(load_scene_xml(scene_path(c["scene"])))
+        t0 = time.perf_counter()
+        if c.get("shard") and jax.device_count() > 1:
+            from metalpathtracer_tpu.parallel import render_image_sharded
+
+            img, rays = render_image_sharded(
+                scene, c["cam"], c["w"], c["h"], c["spp"], seed=idx,
+                cfg=c["cfg"],
+            )
+        else:
+            img, rays = render_image_wavefront(
+                scene, c["cam"], c["w"], c["h"], c["spp"], seed=idx,
+                cfg=c["cfg"],
+            )
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        out = os.path.join(args.out_dir, f"config{idx}.png")
+        import numpy as np
+
+        write_png(out, np.asarray(img))
+        rec = {
+            "config": idx,
+            "scene": c["scene"],
+            "resolution": f"{c['w']}x{c['h']}",
+            "spp": c["spp"],
+            "seconds": round(dt, 3),
+            "spp_per_sec": round(c["spp"] / dt, 3),
+            "mrays_per_sec": round(rays / dt / 1e6, 3),
+            "output": out,
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({"configs": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

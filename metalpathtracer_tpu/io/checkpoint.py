@@ -29,9 +29,9 @@ def save_checkpoint(path: str, state: AccumState, seed: int, meta: dict | None =
     }
     for k, v in (meta or {}).items():
         payload[f"meta_{k}"] = np.asarray(v)
-    tmp = path + ".tmp"
+    tmp = path + ".tmp.npz"  # .npz suffix keeps savez from appending its own
     np.savez_compressed(tmp, **payload)
-    os.replace(tmp + ".npz" if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz") else tmp, path)
+    os.replace(tmp, path)  # atomic: resume never sees a half-written file
 
 
 def load_checkpoint(path: str):

@@ -39,11 +39,9 @@ class DeviceScene:
     node_a: jax.Array  # int32 (M,)
     node_b: jax.Array  # int32 (M,)
     prim_indices: jax.Array  # int32 (P,)
-    # MXU triangle-intersection weights (render/pallas/intersect_mm.py)
-    mm_wa: jax.Array  # float32 (12, Tmm) padded to TILE_P
-    mm_wu: jax.Array  # float32 (12, Tmm)
-    mm_wv: jax.Array  # float32 (12, Tmm)
-    mm_wt: jax.Array  # float32 (12, Tmm)
+    # MXU triangle-intersection weights (render/pallas/intersect_mm.py):
+    # tile-interleaved [wa|wu|wv|wt] blocks, one matmul per tile
+    mm_w: jax.Array  # float32 (12, 4*Tmm)
     mm_tri_ids: jax.Array  # int32 (Tmm,) column -> original primitive index
     mm_tile_box: jax.Array  # float32 (n_tiles, 8) per-tile AABB [lo3,_,hi3,_]
     # sphere SoA for the exact sphere pass
@@ -117,10 +115,7 @@ def upload_scene(
         node_a=jax.numpy.asarray(bvh.node_a),
         node_b=jax.numpy.asarray(bvh.node_b),
         prim_indices=jax.numpy.asarray(prim_indices),
-        mm_wa=jax.numpy.asarray(w["wa"]),
-        mm_wu=jax.numpy.asarray(w["wu"]),
-        mm_wv=jax.numpy.asarray(w["wv"]),
-        mm_wt=jax.numpy.asarray(w["wt"]),
+        mm_w=jax.numpy.asarray(w["w_all"]),
         mm_tri_ids=jax.numpy.asarray(w["tri_ids"]),
         mm_tile_box=jax.numpy.asarray(w["tile_box"]),
         sph_center=jax.numpy.asarray(w["sph_center"]),

@@ -73,7 +73,7 @@ def _trace_rays(scene, o, d, cfg, active=None):
     """Closest hit + surface frame: (t, idx, normal, front_face)."""
     kind = cfg.intersector
     if kind == "auto":
-        kind = "mm" if scene.mm_wa.shape[1] <= MM_MAX_PRIMS else "bvh"
+        kind = "mm" if scene.mm_w.shape[1] // 4 <= MM_MAX_PRIMS else "bvh"
     if kind == "mm":
         from metalpathtracer_tpu.render.pallas.intersect_mm import (
             closest_hit_mm_full,

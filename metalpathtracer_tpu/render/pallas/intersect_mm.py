@@ -117,6 +117,19 @@ def build_weights(prim_type, p0, p1, p2):
             [w, np.zeros((pad_t, NUM_FEATURES), np.float32)]
         ).T.copy()
 
+    # one tile-interleaved weight matrix: for tile i the 4*TILE_P columns are
+    # [wa_i | wu_i | wv_i | wt_i], so each tile is ONE (B,12)@(12,4T) matmul
+    wa_p, wu_p, wv_p, wt_p = padw(wa), padw(wu), padw(wv), padw(wt)
+    n_tiles_w = wa_p.shape[1] // TILE_P
+    w_all = np.empty((NUM_FEATURES, 4 * wa_p.shape[1]), np.float32)
+    for i in range(n_tiles_w):
+        s = i * TILE_P
+        ws = i * 4 * TILE_P
+        w_all[:, ws : ws + TILE_P] = wa_p[:, s : s + TILE_P]
+        w_all[:, ws + TILE_P : ws + 2 * TILE_P] = wu_p[:, s : s + TILE_P]
+        w_all[:, ws + 2 * TILE_P : ws + 3 * TILE_P] = wv_p[:, s : s + TILE_P]
+        w_all[:, ws + 3 * TILE_P : ws + 4 * TILE_P] = wt_p[:, s : s + TILE_P]
+
     tri_ids = np.concatenate(
         [tri_sel.astype(np.int32), np.full(pad_t, -1, np.int32)]
     )
@@ -149,10 +162,7 @@ def build_weights(prim_type, p0, p1, p2):
     )
 
     return dict(
-        wa=padw(wa),
-        wu=padw(wu),
-        wv=padw(wv),
-        wt=padw(wt),
+        w_all=w_all,
         tri_ids=tri_ids,
         tile_box=tile_box,
         n_tris=t,
@@ -171,95 +181,104 @@ def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([d, m, o, od, oo, ones], axis=-1)
 
 
-def _mm_kernel(x_ref, active_ref, wa_ref, wu_ref, wv_ref, wt_ref, box_ref,
-               t_ref, idx_ref, *, n_tiles: int, t_min: float):
+def _mm_kernel(x_ref, active_ref, w_ref, box_ref, t_ref, idx_ref,
+               bt_ref, bi_ref, *, n_tiles: int, t_min: float):
+    """Running bests live in VMEM scratch refs so each tile body can be a
+    genuinely-skipped `pl.when` region — `lax.cond` with vector carries
+    lowers to predicated execution of BOTH branches on TPU (measured: an
+    all-culled pass cost the same as a no-cull pass), while `pl.when` over
+    side-effecting bodies emits a real branch."""
     x = x_ref[:]  # (B, 12)
     b = x.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (b, TILE_P), 1)
     active = active_ref[:, 0] > 0.5  # (B,)
+
+    bt_ref[:, 0] = jnp.full((b,), _INF)
+    bi_ref[:, 0] = jnp.full((b,), -1, jnp.int32)
 
     # per-ray slab-test ingredients (columns of X: d=0:3, o=6:9)
     dx, dy, dz = x[:, 0], x[:, 1], x[:, 2]
     ox, oy, oz = x[:, 6], x[:, 7], x[:, 8]
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
-    def tile_body(i, carry):
-        # cull: does any active ray in the block enter this tile's AABB
-        # before its current best hit?
-        best_t0, _ = carry
-        t0x = (box_ref[i, 0] - ox) * ix
-        t1x = (box_ref[i, 4] - ox) * ix
-        t0y = (box_ref[i, 1] - oy) * iy
-        t1y = (box_ref[i, 5] - oy) * iy
-        t0z = (box_ref[i, 2] - oz) * iz
-        t1z = (box_ref[i, 6] - oz) * iz
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
-        )
-        exit_ = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), best_t0),
-        )
-        hit_box = (exit_ > enter) & active
-        return jax.lax.cond(
-            jnp.any(hit_box), _tile_test, lambda i, c: c, i, carry
-        )
+    @pl.when(jnp.any(active))
+    def _():
+        def tile_body(i, _):
+            # cull: does any active ray in the block enter this tile's AABB
+            # before its current best hit?
+            best_t0 = bt_ref[:, 0]
+            t0x = (box_ref[i, 0] - ox) * ix
+            t1x = (box_ref[i, 4] - ox) * ix
+            t0y = (box_ref[i, 1] - oy) * iy
+            t1y = (box_ref[i, 5] - oy) * iy
+            t0z = (box_ref[i, 2] - oz) * iz
+            t1z = (box_ref[i, 6] - oz) * iz
+            enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+            )
+            exit_ = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), best_t0),
+            )
+            hit_box = (exit_ > enter) & active
 
-    def _tile_test(i, carry):
-        best_t, best_i = carry
-        s = pl.ds(i * TILE_P, TILE_P)
-        sa = jnp.dot(x, wa_ref[:, s], preferred_element_type=jnp.float32)
-        su = jnp.dot(x, wu_ref[:, s], preferred_element_type=jnp.float32)
-        sv = jnp.dot(x, wv_ref[:, s], preferred_element_type=jnp.float32)
-        st = jnp.dot(x, wt_ref[:, s], preferred_element_type=jnp.float32)
+            @pl.when(jnp.any(hit_box))
+            def _():
+                best_t = bt_ref[:, 0]
+                best_i = bi_ref[:, 0]
+                # one fused (B,12)@(12,4T) matmul: [a | su | sv | st]
+                s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
+                block = jnp.dot(
+                    x, w_ref[:, s4], preferred_element_type=jnp.float32
+                )
+                sa = block[:, 0:TILE_P]
+                su = block[:, TILE_P : 2 * TILE_P]
+                sv = block[:, 2 * TILE_P : 3 * TILE_P]
+                st = block[:, 3 * TILE_P : 4 * TILE_P]
 
-        # u = su/a, v = sv/a, t = st/a (PathTracing.h:143-176 acceptance)
-        par = jnp.abs(sa) <= TRI_PARALLEL_EPS
-        f = 1.0 / jnp.where(par, 1.0, sa)
-        u = f * su
-        v = f * sv
-        tt = f * st
-        ok = (
-            (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (tt > t_min)
-        )
-        t_all = jnp.where(ok, tt, _INF)
+                # u = su/a, v = sv/a, t = st/a (PathTracing.h:143-176)
+                par = jnp.abs(sa) <= TRI_PARALLEL_EPS
+                f = 1.0 / jnp.where(par, 1.0, sa)
+                u = f * su
+                v = f * sv
+                tt = f * st
+                ok = (
+                    (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                    & (u + v <= 1.0) & (tt > t_min)
+                )
+                t_all = jnp.where(ok, tt, _INF)
 
-        # tile argmin without argmin: min value, then smallest matching column
-        t_best_tile = jnp.min(t_all, axis=1, keepdims=True)  # (B, 1)
-        idx_in_tile = jnp.min(
-            jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
-            axis=1,
-            keepdims=True,
-        )
-        t_best_tile = t_best_tile[:, 0]
-        idx_tile = i * TILE_P + idx_in_tile[:, 0]
+                # tile argmin: min value, then smallest matching column
+                t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
+                idx_in_tile = jnp.min(
+                    jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
+                    axis=1,
+                    keepdims=True,
+                )
+                t_best_tile = t_best_tile[:, 0]
+                idx_tile = i * TILE_P + idx_in_tile[:, 0]
 
-        better = t_best_tile < best_t
-        best_t = jnp.where(better, t_best_tile, best_t)
-        best_i = jnp.where(better, idx_tile, best_i)
-        return best_t, best_i
+                better = t_best_tile < best_t
+                bt_ref[:, 0] = jnp.where(better, t_best_tile, best_t)
+                bi_ref[:, 0] = jnp.where(better, idx_tile, best_i)
 
-    init = (jnp.full((b,), _INF), jnp.full((b,), -1, jnp.int32))
-    # skip the whole block if every lane is terminated
-    n_iter = jnp.where(jnp.any(active), n_tiles, 0)
-    best_t, best_i = jax.lax.fori_loop(0, n_iter, tile_body, init)
-    t_ref[:, 0] = best_t
-    idx_ref[:, 0] = best_i
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+    t_ref[:, 0] = bt_ref[:, 0]
+    idx_ref[:, 0] = bi_ref[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
-def _tri_hit_mm_padded(x, active, wa, wu, wv, wt, tile_box,
-                       t_min: float, interpret: bool):
+def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool):
     n = x.shape[0]
-    p = wa.shape[1]
-    n_tiles = p // TILE_P
+    p4 = w_all.shape[1]
+    n_tiles = p4 // (4 * TILE_P)
     grid = (n // BLOCK_R,)
 
     kernel = functools.partial(_mm_kernel, n_tiles=n_tiles, t_min=t_min)
-    w_spec = pl.BlockSpec((NUM_FEATURES, p), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -268,7 +287,8 @@ def _tri_hit_mm_padded(x, active, wa, wu, wv, wt, tile_box,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            w_spec, w_spec, w_spec, w_spec,
+            pl.BlockSpec((NUM_FEATURES, p4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tiles, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -280,8 +300,12 @@ def _tri_hit_mm_padded(x, active, wa, wu, wv, wt, tile_box,
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_R, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_R, 1), jnp.int32),
+        ],
         interpret=interpret,
-    )(x, active, wa, wu, wv, wt, tile_box)
+    )(x, active, w_all, tile_box)
     return t[:, 0], idx[:, 0]
 
 
@@ -336,8 +360,7 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
             act = jnp.concatenate([act, jnp.zeros((pad, 1), jnp.float32)])
         interpret = jax.default_backend() == "cpu"
         t_t, col = _tri_hit_mm_padded(
-            x, act, scene.mm_wa, scene.mm_wu, scene.mm_wv, scene.mm_wt,
-            scene.mm_tile_box, float(t_min), interpret,
+            x, act, scene.mm_w, scene.mm_tile_box, float(t_min), interpret,
         )
         t_t, col = t_t[:n], col[:n]
         i_t = scene.mm_tri_ids[jnp.maximum(col, 0)]

@@ -82,4 +82,4 @@ def test_auto_selects_mm_for_small_scene():
     from metalpathtracer_tpu.render.integrator import MM_MAX_PRIMS
 
     scene = upload_scene(presets.cornell_spheres())
-    assert scene.mm_wa.shape[1] <= MM_MAX_PRIMS  # auto → mm path
+    assert scene.mm_w.shape[1] // 4 <= MM_MAX_PRIMS  # auto → mm path
