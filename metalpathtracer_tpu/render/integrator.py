@@ -66,7 +66,10 @@ DEFAULT_CONFIG = RenderConfig()
 REFERENCE_CONFIG = RenderConfig(max_depth=32, clamp_radiance=True)
 
 
-MM_MAX_PRIMS = 8192  # beyond this the brute-force matmul loses to traversal
+# Up to this many triangles the tile-culled MXU intersector wins (weights
+# stream from HBM above ~24k tris); beyond this even culled brute force
+# loses to traversal, so fall back to the BVH path.
+MM_MAX_PRIMS = 262144
 
 
 def _trace_rays(scene, o, d, cfg, active=None):

@@ -182,12 +182,14 @@ def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mm_kernel(x_ref, active_ref, w_ref, box_ref, t_ref, idx_ref,
-               bt_ref, bi_ref, *, n_tiles: int, t_min: float):
-    """Running bests live in VMEM scratch refs so each tile body can be a
-    genuinely-skipped `pl.when` region — `lax.cond` with vector carries
-    lowers to predicated execution of BOTH branches on TPU (measured: an
-    all-culled pass cost the same as a no-cull pass), while `pl.when` over
-    side-effecting bodies emits a real branch."""
+               bt_ref, bi_ref, list_ref, *, n_tiles: int, t_min: float):
+    """Tile skipping happens via LOOP TRIP COUNT, not branches: neither
+    `lax.cond` (vector carries) nor `pl.when` inside a `fori_loop` body
+    actually skips work on TPU — both lower to predicated execution of the
+    full tile body (measured: an all-culled pass cost the same as full
+    work). So the kernel first slab-tests every tile AABB against the
+    block's active rays, compacts the PASSING tile indices into an SMEM
+    list, and then loops exactly `count` times over real work."""
     x = x_ref[:]  # (B, 12)
     b = x.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (b, TILE_P), 1)
@@ -201,74 +203,179 @@ def _mm_kernel(x_ref, active_ref, w_ref, box_ref, t_ref, idx_ref,
     ox, oy, oz = x[:, 6], x[:, 7], x[:, 8]
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
-    @pl.when(jnp.any(active))
-    def _():
-        def tile_body(i, _):
-            # cull: does any active ray in the block enter this tile's AABB
-            # before its current best hit?
-            best_t0 = bt_ref[:, 0]
-            t0x = (box_ref[i, 0] - ox) * ix
-            t1x = (box_ref[i, 4] - ox) * ix
-            t0y = (box_ref[i, 1] - oy) * iy
-            t1y = (box_ref[i, 5] - oy) * iy
-            t0z = (box_ref[i, 2] - oz) * iz
-            t1z = (box_ref[i, 6] - oz) * iz
-            enter = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), t_min),
-            )
-            exit_ = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.minimum(jnp.maximum(t0z, t1z), best_t0),
-            )
-            hit_box = (exit_ > enter) & active
+    # --- phase 1: build the passing-tile list in SMEM (count in slot -1) ---
+    def cull_body(i, count):
+        t0x = (box_ref[i, 0] - ox) * ix
+        t1x = (box_ref[i, 4] - ox) * ix
+        t0y = (box_ref[i, 1] - oy) * iy
+        t1y = (box_ref[i, 5] - oy) * iy
+        t0z = (box_ref[i, 2] - oz) * iz
+        t1z = (box_ref[i, 6] - oz) * iz
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+        )
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit = jnp.any((exit_ > enter) & active)
+        list_ref[count] = i  # harmless overwrite when not hit
+        return count + hit.astype(jnp.int32)
 
-            @pl.when(jnp.any(hit_box))
-            def _():
-                best_t = bt_ref[:, 0]
-                best_i = bi_ref[:, 0]
-                # one fused (B,12)@(12,4T) matmul: [a | su | sv | st]
-                s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
-                block = jnp.dot(
-                    x, w_ref[:, s4], preferred_element_type=jnp.float32
-                )
-                sa = block[:, 0:TILE_P]
-                su = block[:, TILE_P : 2 * TILE_P]
-                sv = block[:, 2 * TILE_P : 3 * TILE_P]
-                st = block[:, 3 * TILE_P : 4 * TILE_P]
+    count = jax.lax.fori_loop(0, n_tiles, cull_body, jnp.int32(0))
 
-                # u = su/a, v = sv/a, t = st/a (PathTracing.h:143-176)
-                par = jnp.abs(sa) <= TRI_PARALLEL_EPS
-                f = 1.0 / jnp.where(par, 1.0, sa)
-                u = f * su
-                v = f * sv
-                tt = f * st
-                ok = (
-                    (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                    & (u + v <= 1.0) & (tt > t_min)
-                )
-                t_all = jnp.where(ok, tt, _INF)
+    # --- phase 2: test only the passing tiles ---
+    def tile_body(j, _):
+        i = list_ref[j]
+        best_t = bt_ref[:, 0]
+        best_i = bi_ref[:, 0]
+        # one fused (B,12)@(12,4T) matmul: [a | su | sv | st]
+        s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
+        block = jnp.dot(x, w_ref[:, s4], preferred_element_type=jnp.float32)
+        sa = block[:, 0:TILE_P]
+        su = block[:, TILE_P : 2 * TILE_P]
+        sv = block[:, 2 * TILE_P : 3 * TILE_P]
+        st = block[:, 3 * TILE_P : 4 * TILE_P]
 
-                # tile argmin: min value, then smallest matching column
-                t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
-                idx_in_tile = jnp.min(
-                    jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
-                    axis=1,
-                    keepdims=True,
-                )
-                t_best_tile = t_best_tile[:, 0]
-                idx_tile = i * TILE_P + idx_in_tile[:, 0]
+        # u = su/a, v = sv/a, t = st/a (PathTracing.h:143-176)
+        par = jnp.abs(sa) <= TRI_PARALLEL_EPS
+        f = 1.0 / jnp.where(par, 1.0, sa)
+        u = f * su
+        v = f * sv
+        tt = f * st
+        ok = (
+            (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+            & (u + v <= 1.0) & (tt > t_min)
+        )
+        t_all = jnp.where(ok, tt, _INF)
 
-                better = t_best_tile < best_t
-                bt_ref[:, 0] = jnp.where(better, t_best_tile, best_t)
-                bi_ref[:, 0] = jnp.where(better, idx_tile, best_i)
+        # tile argmin: min value, then smallest matching column
+        t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
+        idx_in_tile = jnp.min(
+            jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
+            axis=1,
+            keepdims=True,
+        )
+        t_best_tile = t_best_tile[:, 0]
+        idx_tile = i * TILE_P + idx_in_tile[:, 0]
 
-            return 0
+        better = t_best_tile < best_t
+        bt_ref[:, 0] = jnp.where(better, t_best_tile, best_t)
+        bi_ref[:, 0] = jnp.where(better, idx_tile, best_i)
+        return 0
 
-        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    n_iter = jnp.where(jnp.any(active), count, 0)
+    jax.lax.fori_loop(0, n_iter, tile_body, 0)
 
     t_ref[:, 0] = bt_ref[:, 0]
     idx_ref[:, 0] = bi_ref[:, 0]
+
+
+def _mm_kernel_stream(x_ref, active_ref, w_hbm_ref, box_ref, t_ref, idx_ref,
+                      bt_ref, bi_ref, list_ref, w_buf, dma_sem,
+                      *, n_tiles: int, t_min: float):
+    """HBM-streaming variant: weights stay in HBM and only the tiles that
+    survive the cull are DMA'd into a double-buffered VMEM scratch — culling
+    saves bandwidth as well as FLOPs, and scene size is no longer limited by
+    VMEM (millions of triangles). Same math as `_mm_kernel`."""
+    x = x_ref[:]
+    b = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, TILE_P), 1)
+    active = active_ref[:, 0] > 0.5
+
+    bt_ref[:, 0] = jnp.full((b,), _INF)
+    bi_ref[:, 0] = jnp.full((b,), -1, jnp.int32)
+
+    dx, dy, dz = x[:, 0], x[:, 1], x[:, 2]
+    ox, oy, oz = x[:, 6], x[:, 7], x[:, 8]
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    def cull_body(i, count):
+        t0x = (box_ref[i, 0] - ox) * ix
+        t1x = (box_ref[i, 4] - ox) * ix
+        t0y = (box_ref[i, 1] - oy) * iy
+        t1y = (box_ref[i, 5] - oy) * iy
+        t0z = (box_ref[i, 2] - oz) * iz
+        t1z = (box_ref[i, 6] - oz) * iz
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
+        )
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit = jnp.any((exit_ > enter) & active)
+        list_ref[count] = i
+        return count + hit.astype(jnp.int32)
+
+    count = jax.lax.fori_loop(0, n_tiles, cull_body, jnp.int32(0))
+
+    def dma_for(j, slot):
+        i = list_ref[j]
+        return pltpu.make_async_copy(
+            w_hbm_ref.at[:, pl.ds(i * 4 * TILE_P, 4 * TILE_P)],
+            w_buf.at[slot],
+            dma_sem.at[slot],
+        )
+
+    @pl.when(jnp.any(active) & (count > 0))
+    def _():
+        dma_for(0, 0).start()
+
+        def tile_body(j, _):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < count)
+            def _():
+                dma_for(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+            dma_for(j, slot).wait()
+            i = list_ref[j]
+            best_t = bt_ref[:, 0]
+            best_i = bi_ref[:, 0]
+            block = jnp.dot(x, w_buf[slot], preferred_element_type=jnp.float32)
+            sa = block[:, 0:TILE_P]
+            su = block[:, TILE_P : 2 * TILE_P]
+            sv = block[:, 2 * TILE_P : 3 * TILE_P]
+            st = block[:, 3 * TILE_P : 4 * TILE_P]
+
+            par = jnp.abs(sa) <= TRI_PARALLEL_EPS
+            f = 1.0 / jnp.where(par, 1.0, sa)
+            u = f * su
+            v = f * sv
+            tt = f * st
+            ok = (
+                (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                & (u + v <= 1.0) & (tt > t_min)
+            )
+            t_all = jnp.where(ok, tt, _INF)
+
+            t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
+            idx_in_tile = jnp.min(
+                jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
+                axis=1,
+                keepdims=True,
+            )
+            t_best_tile = t_best_tile[:, 0]
+            idx_tile = i * TILE_P + idx_in_tile[:, 0]
+
+            better = t_best_tile < best_t
+            bt_ref[:, 0] = jnp.where(better, t_best_tile, best_t)
+            bi_ref[:, 0] = jnp.where(better, idx_tile, best_i)
+            return 0
+
+        jax.lax.fori_loop(0, count, tile_body, 0)
+
+    t_ref[:, 0] = bt_ref[:, 0]
+    idx_ref[:, 0] = bi_ref[:, 0]
+
+
+# above this many triangles the interleaved weight matrix (12 x 4T f32)
+# stops fitting comfortably in VMEM next to the block temps → stream tiles
+# from HBM instead
+VMEM_RESIDENT_MAX_TRIS = 24 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
@@ -278,7 +385,20 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
     n_tiles = p4 // (4 * TILE_P)
     grid = (n // BLOCK_R,)
 
-    kernel = functools.partial(_mm_kernel, n_tiles=n_tiles, t_min=t_min)
+    stream = (p4 // 4) > VMEM_RESIDENT_MAX_TRIS
+    if stream:
+        kernel = functools.partial(_mm_kernel_stream, n_tiles=n_tiles, t_min=t_min)
+        w_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+        extra_scratch = [
+            pltpu.VMEM((2, NUM_FEATURES, 4 * TILE_P), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(_mm_kernel, n_tiles=n_tiles, t_min=t_min)
+        w_spec = pl.BlockSpec((NUM_FEATURES, p4), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        extra_scratch = []
+
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -287,10 +407,11 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_FEATURES, p4), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
+            # tile AABBs are consumed as per-tile SCALARS in the cull loop;
+            # SMEM makes those dynamic scalar reads cheap (VMEM scalar loads
+            # measured ~9ms of pure overhead per kernel call)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -303,7 +424,8 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
         scratch_shapes=[
             pltpu.VMEM((BLOCK_R, 1), jnp.float32),
             pltpu.VMEM((BLOCK_R, 1), jnp.int32),
-        ],
+            pltpu.SMEM((max(n_tiles, 1) + 1,), jnp.int32),
+        ] + extra_scratch,
         interpret=interpret,
     )(x, active, w_all, tile_box)
     return t[:, 0], idx[:, 0]

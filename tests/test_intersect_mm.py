@@ -83,3 +83,41 @@ def test_auto_selects_mm_for_small_scene():
 
     scene = upload_scene(presets.cornell_spheres())
     assert scene.mm_w.shape[1] // 4 <= MM_MAX_PRIMS  # auto → mm path
+
+
+def test_mm_streaming_large_mesh():
+    # >24k tris routes through the HBM-streaming kernel (double-buffered
+    # tile DMA); must agree with brute force exactly on hit ids.
+    from metalpathtracer_tpu.render.pallas.intersect_mm import (
+        VMEM_RESIDENT_MAX_TRIS,
+    )
+    from metalpathtracer_tpu.scene import HostScene, Material
+    from metalpathtracer_tpu.scene.procgen import icosphere
+
+    v, f = icosphere(5, radius=2.0)  # 20480 tris
+    s = HostScene()
+    s.add_mesh(v, f, position=(0, 0, -5), scale=1.0, material=Material())
+    s.add_mesh(v, f, position=(4, 0, -8), scale=0.8,
+               material=Material(albedo=(0.9, 0.2, 0.2)))
+    scene = upload_scene(s)
+    assert scene.num_tris > VMEM_RESIDENT_MAX_TRIS  # streaming path engaged
+
+    # rays aimed at the first mesh from a small origin cloud
+    r = np.random.default_rng(11)
+    o = r.uniform(-1.5, 1.5, (512, 3)).astype(np.float32) + np.array(
+        [0, 0, 2], np.float32
+    )
+    target = r.uniform(-1.8, 1.8, (512, 3)).astype(np.float32) + np.array(
+        [0, 0, -5], np.float32
+    )
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t0, i0 = closest_hit_bruteforce(scene, o, d)
+    t1, i1 = closest_hit_mm(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    hit = np.asarray(i0) >= 0
+    assert hit.sum() > 50
+    np.testing.assert_allclose(
+        np.asarray(t1)[hit], np.asarray(t0)[hit], rtol=5e-4, atol=1e-2
+    )
