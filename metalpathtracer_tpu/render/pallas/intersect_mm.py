@@ -50,7 +50,8 @@ T_MIN = 1e-4
 TRI_PARALLEL_EPS = 1e-5
 NUM_FEATURES = 12
 BLOCK_R = 1024  # rays per grid cell
-TILE_P = 256  # triangles per inner tile
+TILE_P = 512  # triangles per inner tile (bigger tiles amortize the ~1.7us
+              # per-loop-iteration overhead measured on v5e)
 
 _INF = float("inf")  # plain float: jnp scalars become captured consts in kernels
 
@@ -181,55 +182,22 @@ def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([d, m, o, od, oo, ones], axis=-1)
 
 
-def _mm_kernel(x_ref, active_ref, w_ref, box_ref, t_ref, idx_ref,
-               bt_ref, bi_ref, list_ref, *, n_tiles: int, t_min: float):
-    """Tile skipping happens via LOOP TRIP COUNT, not branches: neither
-    `lax.cond` (vector carries) nor `pl.when` inside a `fori_loop` body
-    actually skips work on TPU — both lower to predicated execution of the
-    full tile body (measured: an all-culled pass cost the same as full
-    work). So the kernel first slab-tests every tile AABB against the
-    block's active rays, compacts the PASSING tile indices into an SMEM
-    list, and then loops exactly `count` times over real work."""
+def _mm_kernel(lists_ref, counts_ref, x_ref, w_ref, t_ref, idx_ref,
+               *, t_min: float):
+    """VMEM-resident weights. Work-skipping design (see docs/PERFORMANCE.md):
+    the per-block passing-tile lists are computed OUTSIDE the kernel
+    (vectorized XLA cull) and arrive via scalar prefetch; the kernel loops
+    exactly `count` times. Branches (`lax.cond`, in-loop `pl.when`) measured
+    as predicated-both-paths on TPU, and an in-kernel scalar cull loop costs
+    ~1.7us/iteration — so neither appears here."""
+    cell = pl.program_id(0)
     x = x_ref[:]  # (B, 12)
     b = x.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (b, TILE_P), 1)
-    active = active_ref[:, 0] > 0.5  # (B,)
 
-    bt_ref[:, 0] = jnp.full((b,), _INF)
-    bi_ref[:, 0] = jnp.full((b,), -1, jnp.int32)
-
-    # per-ray slab-test ingredients (columns of X: d=0:3, o=6:9)
-    dx, dy, dz = x[:, 0], x[:, 1], x[:, 2]
-    ox, oy, oz = x[:, 6], x[:, 7], x[:, 8]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-
-    # --- phase 1: build the passing-tile list in SMEM (count in slot -1) ---
-    def cull_body(i, count):
-        t0x = (box_ref[i, 0] - ox) * ix
-        t1x = (box_ref[i, 4] - ox) * ix
-        t0y = (box_ref[i, 1] - oy) * iy
-        t1y = (box_ref[i, 5] - oy) * iy
-        t0z = (box_ref[i, 2] - oz) * iz
-        t1z = (box_ref[i, 6] - oz) * iz
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
-        )
-        exit_ = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        hit = jnp.any((exit_ > enter) & active)
-        list_ref[count] = i  # harmless overwrite when not hit
-        return count + hit.astype(jnp.int32)
-
-    count = jax.lax.fori_loop(0, n_tiles, cull_body, jnp.int32(0))
-
-    # --- phase 2: test only the passing tiles ---
-    def tile_body(j, _):
-        i = list_ref[j]
-        best_t = bt_ref[:, 0]
-        best_i = bi_ref[:, 0]
+    def tile_body(j, carry):
+        best_t, best_i = carry
+        i = lists_ref[cell, j]
         # one fused (B,12)@(12,4T) matmul: [a | su | sv | st]
         s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
         block = jnp.dot(x, w_ref[:, s4], preferred_element_type=jnp.float32)
@@ -261,66 +229,43 @@ def _mm_kernel(x_ref, active_ref, w_ref, box_ref, t_ref, idx_ref,
         idx_tile = i * TILE_P + idx_in_tile[:, 0]
 
         better = t_best_tile < best_t
-        bt_ref[:, 0] = jnp.where(better, t_best_tile, best_t)
-        bi_ref[:, 0] = jnp.where(better, idx_tile, best_i)
-        return 0
+        return (jnp.where(better, t_best_tile, best_t),
+                jnp.where(better, idx_tile, best_i))
 
-    n_iter = jnp.where(jnp.any(active), count, 0)
-    jax.lax.fori_loop(0, n_iter, tile_body, 0)
+    init = (jnp.full((b,), _INF), jnp.full((b,), -1, jnp.int32))
+    best_t, best_i = jax.lax.fori_loop(0, counts_ref[cell], tile_body, init)
+    # (8, 128)-tiled output blocks: a (B, 1) layout puts one element per
+    # sublane row and costs ~12us/cell of pure write overhead
+    t_ref[:, :] = best_t.reshape(t_ref.shape)
+    idx_ref[:, :] = best_i.reshape(idx_ref.shape)
 
-    t_ref[:, 0] = bt_ref[:, 0]
-    idx_ref[:, 0] = bi_ref[:, 0]
 
-
-def _mm_kernel_stream(x_ref, active_ref, w_hbm_ref, box_ref, t_ref, idx_ref,
-                      bt_ref, bi_ref, list_ref, w_buf, dma_sem,
-                      *, n_tiles: int, t_min: float):
-    """HBM-streaming variant: weights stay in HBM and only the tiles that
-    survive the cull are DMA'd into a double-buffered VMEM scratch — culling
-    saves bandwidth as well as FLOPs, and scene size is no longer limited by
-    VMEM (millions of triangles). Same math as `_mm_kernel`."""
+def _mm_kernel_stream(lists_ref, counts_ref, x_ref, w_hbm_ref, t_ref, idx_ref,
+                      bt_ref, bi_ref, w_buf, dma_sem, *, t_min: float):
+    # NOTE: streaming keeps scratch-ref bests — the outer pl.when needs
+    # mutation semantics (it is NOT inside a loop, so it branches for real).
+    """HBM-streaming variant: weights stay in HBM and only the tiles on the
+    prefetched passing list are DMA'd into a double-buffered VMEM scratch —
+    the cull saves bandwidth as well as FLOPs, and scene size is not limited
+    by VMEM (millions of triangles). Same math as `_mm_kernel`."""
+    cell = pl.program_id(0)
     x = x_ref[:]
     b = x.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (b, TILE_P), 1)
-    active = active_ref[:, 0] > 0.5
 
-    bt_ref[:, 0] = jnp.full((b,), _INF)
-    bi_ref[:, 0] = jnp.full((b,), -1, jnp.int32)
-
-    dx, dy, dz = x[:, 0], x[:, 1], x[:, 2]
-    ox, oy, oz = x[:, 6], x[:, 7], x[:, 8]
-    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-
-    def cull_body(i, count):
-        t0x = (box_ref[i, 0] - ox) * ix
-        t1x = (box_ref[i, 4] - ox) * ix
-        t0y = (box_ref[i, 1] - oy) * iy
-        t1y = (box_ref[i, 5] - oy) * iy
-        t0z = (box_ref[i, 2] - oz) * iz
-        t1z = (box_ref[i, 6] - oz) * iz
-        enter = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), t_min),
-        )
-        exit_ = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        hit = jnp.any((exit_ > enter) & active)
-        list_ref[count] = i
-        return count + hit.astype(jnp.int32)
-
-    count = jax.lax.fori_loop(0, n_tiles, cull_body, jnp.int32(0))
+    bt_ref[:, :] = jnp.full(bt_ref.shape, _INF)
+    bi_ref[:, :] = jnp.full(bi_ref.shape, -1, jnp.int32)
+    count = counts_ref[cell]
 
     def dma_for(j, slot):
-        i = list_ref[j]
+        i = lists_ref[cell, j]
         return pltpu.make_async_copy(
             w_hbm_ref.at[:, pl.ds(i * 4 * TILE_P, 4 * TILE_P)],
             w_buf.at[slot],
             dma_sem.at[slot],
         )
 
-    @pl.when(jnp.any(active) & (count > 0))
+    @pl.when(count > 0)
     def _():
         dma_for(0, 0).start()
 
@@ -332,9 +277,9 @@ def _mm_kernel_stream(x_ref, active_ref, w_hbm_ref, box_ref, t_ref, idx_ref,
                 dma_for(j + 1, jax.lax.rem(j + 1, 2)).start()
 
             dma_for(j, slot).wait()
-            i = list_ref[j]
-            best_t = bt_ref[:, 0]
-            best_i = bi_ref[:, 0]
+            i = lists_ref[cell, j]
+            best_t = bt_ref[:, :].reshape(-1)
+            best_i = bi_ref[:, :].reshape(-1)
             block = jnp.dot(x, w_buf[slot], preferred_element_type=jnp.float32)
             sa = block[:, 0:TILE_P]
             su = block[:, TILE_P : 2 * TILE_P]
@@ -362,20 +307,43 @@ def _mm_kernel_stream(x_ref, active_ref, w_hbm_ref, box_ref, t_ref, idx_ref,
             idx_tile = i * TILE_P + idx_in_tile[:, 0]
 
             better = t_best_tile < best_t
-            bt_ref[:, 0] = jnp.where(better, t_best_tile, best_t)
-            bi_ref[:, 0] = jnp.where(better, idx_tile, best_i)
+            bt_ref[:, :] = jnp.where(better, t_best_tile, best_t).reshape(bt_ref.shape)
+            bi_ref[:, :] = jnp.where(better, idx_tile, best_i).reshape(bi_ref.shape)
             return 0
 
         jax.lax.fori_loop(0, count, tile_body, 0)
 
-    t_ref[:, 0] = bt_ref[:, 0]
-    idx_ref[:, 0] = bi_ref[:, 0]
+    t_ref[:, :] = bt_ref[:, :]
+    idx_ref[:, :] = bi_ref[:, :]
 
 
 # above this many triangles the interleaved weight matrix (12 x 4T f32)
 # stops fitting comfortably in VMEM next to the block temps → stream tiles
 # from HBM instead
-VMEM_RESIDENT_MAX_TRIS = 24 * 1024
+VMEM_RESIDENT_MAX_TRIS = 16 * 1024
+
+
+def _cull_tile_lists(x, active, tile_box, t_min):
+    """Vectorized XLA cull: per ray-block, which tiles can any active ray
+    enter? Returns (lists (nb, nt) int32 — passing tiles first, ascending;
+    counts (nb,) int32). This runs fused in the surrounding jit and replaces
+    ~1.7us/iteration of in-kernel scalar cull loop."""
+    n = x.shape[0]
+    nb = n // BLOCK_R
+    d = x[:, 0:3]
+    o = x[:, 6:9]
+    inv = 1.0 / d
+    lo = tile_box[None, :, 0:3]
+    hi = tile_box[None, :, 4:7]
+    t0 = (lo - o[:, None, :]) * inv[:, None, :]
+    t1 = (hi - o[:, None, :]) * inv[:, None, :]
+    enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)
+    exit_ = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (exit_ > enter) & (active > 0.5)  # (N, nt)
+    blk = hit.reshape(nb, BLOCK_R, -1).any(axis=1)  # (nb, nt)
+    counts = blk.sum(axis=1).astype(jnp.int32)
+    lists = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int32)
+    return lists, counts
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
@@ -385,50 +353,55 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
     n_tiles = p4 // (4 * TILE_P)
     grid = (n // BLOCK_R,)
 
+    lists, counts = _cull_tile_lists(x, active, tile_box, t_min)
+
     stream = (p4 // 4) > VMEM_RESIDENT_MAX_TRIS
     if stream:
-        kernel = functools.partial(_mm_kernel_stream, n_tiles=n_tiles, t_min=t_min)
+        kernel = functools.partial(_mm_kernel_stream, t_min=t_min)
         w_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
         extra_scratch = [
             pltpu.VMEM((2, NUM_FEATURES, 4 * TILE_P), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
-        kernel = functools.partial(_mm_kernel, n_tiles=n_tiles, t_min=t_min)
-        w_spec = pl.BlockSpec((NUM_FEATURES, p4), lambda i: (0, 0),
+        kernel = functools.partial(_mm_kernel, t_min=t_min)
+        w_spec = pl.BlockSpec((NUM_FEATURES, p4), lambda i, *_: (0, 0),
                               memory_space=pltpu.VMEM)
-        extra_scratch = []
+        extra_scratch = []  # resident kernel keeps bests in fori carries
 
-    t, idx = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # lists, counts → SMEM, available pre-body
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+            pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             w_spec,
-            # tile AABBs are consumed as per-tile SCALARS in the cull loop;
-            # SMEM makes those dynamic scalar reads cheap (VMEM scalar loads
-            # measured ~9ms of pure overhead per kernel call)
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R // 128, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R // 128, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((BLOCK_R // 128, 128), jnp.float32),
+                pltpu.VMEM((BLOCK_R // 128, 128), jnp.int32),
+            ] + extra_scratch
+            if stream
+            else []
+        ),
+    )
+    t, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((BLOCK_R, 1), jnp.float32),
-            pltpu.VMEM((BLOCK_R, 1), jnp.int32),
-            pltpu.SMEM((max(n_tiles, 1) + 1,), jnp.int32),
-        ] + extra_scratch,
         interpret=interpret,
-    )(x, active, w_all, tile_box)
-    return t[:, 0], idx[:, 0]
+    )(lists, counts, x, w_all)
+    return t.reshape(n), idx.reshape(n)
 
 
 def _sphere_hit_exact(scene, o, d, t_min):
