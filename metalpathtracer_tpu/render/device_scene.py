@@ -43,6 +43,7 @@ class DeviceScene:
     # tile-interleaved [wa|wu|wv|wt] blocks, one matmul per tile
     mm_w: jax.Array  # float32 (12, 4*Tmm)
     mm_tri_ids: jax.Array  # int32 (Tmm,) column -> original primitive index
+    mm_refine: jax.Array  # float32 (Tmm, 16) [v0, e1, e2, n] per column
     mm_tile_box: jax.Array  # float32 (n_tiles, 8) per-tile AABB [lo3,_,hi3,_]
     # sphere SoA for the exact sphere pass
     sph_center: jax.Array  # float32 (S, 3)
@@ -117,6 +118,7 @@ def upload_scene(
         prim_indices=jax.numpy.asarray(prim_indices),
         mm_w=jax.numpy.asarray(w["w_all"]),
         mm_tri_ids=jax.numpy.asarray(w["tri_ids"]),
+        mm_refine=jax.numpy.asarray(w["tri_refine"]),
         mm_tile_box=jax.numpy.asarray(w["tile_box"]),
         sph_center=jax.numpy.asarray(w["sph_center"]),
         sph_radius=jax.numpy.asarray(w["sph_radius"]),

@@ -135,6 +135,15 @@ def build_weights(prim_type, p0, p1, p2):
         [tri_sel.astype(np.int32), np.full(pad_t, -1, np.int32)]
     )
 
+    # packed refinement table in KERNEL COLUMN order: [v0, e1, e2, n, pad4] —
+    # the winner refine + normal costs ONE (N,16) gather instead of three
+    # (N,3) vertex gathers through the id indirection
+    refine = np.zeros((t + pad_t, 16), np.float32)
+    refine[:t, 0:3] = v0
+    refine[:t, 3:6] = e1
+    refine[:t, 6:9] = e2
+    refine[:t, 9:12] = n
+
     # per-tile AABBs over the padded triangle order; padding tiles get empty
     # boxes (lo=+inf, hi=-inf) that fail every slab test
     n_tiles = (t + pad_t) // TILE_P
@@ -165,6 +174,7 @@ def build_weights(prim_type, p0, p1, p2):
     return dict(
         w_all=w_all,
         tri_ids=tri_ids,
+        tri_refine=refine,
         tile_box=tile_box,
         n_tris=t,
         sph_center=sph_center.astype(np.float32),
@@ -404,6 +414,28 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
     return t.reshape(n), idx.reshape(n)
 
 
+def _mt_exact(o, d, v0, e1, e2, t_min):
+    """Sequential Moller-Trumbore on pre-expanded edges (the oracle
+    `intersect.ray_triangle` recomputes e1/e2 from vertices; here they come
+    from the packed refine table)."""
+    from metalpathtracer_tpu.core import vecmath as vm
+
+    h = vm.cross(d, e2)
+    a = vm.dot(e1, h)
+    parallel = jnp.abs(a) <= TRI_PARALLEL_EPS
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = o - v0
+    u = f * vm.dot(s, h)
+    q = vm.cross(s, e1)
+    v = f * vm.dot(d, q)
+    t = f * vm.dot(e2, q)
+    ok = (
+        (~parallel) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min)
+    )
+    return jnp.where(ok, t, jnp.inf)
+
+
 def _sphere_hit_exact(scene, o, d, t_min):
     """Exact dense sphere pass: (N, S) oracle quadratic (oc = o - c first, no
     cancellation). S is small — the mesh carries the primitive count.
@@ -458,19 +490,20 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
             x, act, scene.mm_w, scene.mm_tile_box, float(t_min), interpret,
         )
         t_t, col = t_t[:n], col[:n]
-        i_t = scene.mm_tri_ids[jnp.maximum(col, 0)]
+        ccol = jnp.maximum(col, 0)
+        i_t = scene.mm_tri_ids[ccol]
 
-        # re-refine the winning triangle's t with the sequential formula and
-        # reuse the gathered vertices for the geometric normal
-        widx = jnp.maximum(i_t, 0)
-        v0 = scene.p0[widx]
-        v1 = scene.p1[widx]
-        v2 = scene.p2[widx]
-        t_exact = ray_triangle(o, d, v0, v1, v2, t_min)
+        # re-refine the winner with the sequential formula from ONE packed
+        # (N,16) row gather: [v0, e1, e2, n]
+        row = scene.mm_refine[ccol]
+        v0 = row[:, 0:3]
+        e1 = row[:, 3:6]
+        e2 = row[:, 6:9]
+        t_exact = _mt_exact(o, d, v0, e1, e2, t_min)
         tri_hit = (col >= 0) & jnp.isfinite(t_t) & jnp.isfinite(t_exact)
         t_t = jnp.where(tri_hit, t_exact, jnp.inf)
         i_t = jnp.where(tri_hit, i_t, -1)
-        tri_n = vm.normalize(vm.cross(v1 - v0, v2 - v0))
+        tri_n = vm.normalize(row[:, 9:12])
     else:
         t_t = jnp.full((n,), jnp.inf)
         i_t = jnp.full((n,), -1, jnp.int32)
