@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "regeneration (fastest on open scenes)")
     p.add_argument("--pool-size", type=int, default=None,
                    help="wavefront lane-pool size (default: auto)")
+    p.add_argument("--megakernel", action="store_true",
+                   help="experimental fused-bounce Pallas megakernel "
+                        "(wavefront only; no NEE)")
     p.add_argument("--checkpoint", default=None,
                    help="progressive checkpoint path (save after each pass)")
     p.add_argument("--resume", action="store_true",
@@ -124,6 +127,7 @@ def main(argv=None) -> int:
         clamp_radiance=args.clamp,
         rr_start=args.rr_start,
         nee=args.nee,
+        megakernel=args.megakernel,
     )
 
     output = args.output

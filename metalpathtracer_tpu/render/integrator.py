@@ -57,6 +57,11 @@ class RenderConfig:
     # off; kept as a switch for future cheaper partition schemes. Positional
     # RNG makes the estimate invariant to any lane permutation.
     sort_lanes: bool = False
+    # fused-bounce Pallas megakernel for the wavefront (intersection + BSDF
+    # + RNG in one program; render/pallas/bounce_mk.py). Falls back to the
+    # XLA bounce for NEE or oversized scenes. Draws identical randoms; BSDF
+    # fp reassociation makes results equal within per-pixel chaos.
+    megakernel: bool = False
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
     nee: bool = False  # next-event estimation for emissive spheres
@@ -279,6 +284,73 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
     return light, rays_traced
 
 
+def _mk_applicable(scene, cfg) -> bool:
+    from metalpathtracer_tpu.render.pallas.intersect_mm import (
+        VMEM_RESIDENT_MAX_TRIS,
+    )
+
+    return (
+        cfg.megakernel
+        and not cfg.nee
+        and cfg.intersector in ("auto", "mm")
+        and scene.mm_w.shape[1] // 4 <= VMEM_RESIDENT_MAX_TRIS
+    )
+
+
+def _bounce_step_mk(scene, o, d, light, throughput, active, prev_spec,
+                    pixel_id, sample_id, bounce, seed, cfg):
+    """Fused-bounce megakernel wrapper with the same contract as
+    `_bounce_step`. Packs state into (N,16)/(N,8) matrices, runs the Pallas
+    program, unpacks."""
+    from metalpathtracer_tpu.render.pallas import bounce_mk as MK
+    from metalpathtracer_tpu.render.pallas.intersect_mm import (
+        _cull_tile_lists,
+        ray_features,
+    )
+
+    n = o.shape[0]
+    pad = (-n) % MK.MK_BLOCK_R
+
+    sf = jnp.zeros((n + pad, MK.STATE_F_COLS), jnp.float32)
+    sf = sf.at[:n, 0:3].set(o)
+    sf = sf.at[:n, 3:6].set(d)
+    sf = sf.at[:n, 6:9].set(light)
+    sf = sf.at[:n, 9:12].set(throughput)
+    si = jnp.zeros((n + pad, MK.STATE_I_COLS), jnp.int32)
+    si = si.at[:n, MK.I_PIXEL].set(pixel_id.astype(jnp.int32))
+    si = si.at[:n, MK.I_SAMPLE].set(
+        jnp.broadcast_to(jnp.asarray(sample_id, jnp.uint32), (n,)).astype(jnp.int32)
+    )
+    si = si.at[:n, MK.I_BOUNCE].set(jnp.broadcast_to(jnp.asarray(bounce, jnp.int32), (n,)))
+    si = si.at[:n, MK.I_ACTIVE].set(active.astype(jnp.int32))
+    si = si.at[:n, MK.I_PREVSPEC].set(prev_spec.astype(jnp.int32))
+
+    x = ray_features(sf[:, 0:3], sf[:, 3:6])
+    act_col = (si[:, MK.I_ACTIVE] > 0).astype(jnp.float32)[:, None]
+    lists, counts = _cull_tile_lists(
+        x, act_col, scene.mm_tile_box, T_MIN, block_r=MK.MK_BLOCK_R
+    )
+    params = jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (4,))
+    interpret = jax.default_backend() == "cpu"
+
+    sf2, si2 = MK.bounce_megakernel(
+        sf, si, x, lists, counts, params, scene.mk_sph_scalars,
+        scene.mm_w, scene.mk_tri_table, scene.mk_sph_table,
+        int(scene.mk_sph_table.shape[0]), int(cfg.rr_start), float(T_MIN),
+        interpret,
+    )
+    rays_counted = jnp.sum(active, dtype=jnp.int32)
+    return (
+        sf2[:n, 0:3],
+        sf2[:n, 3:6],
+        sf2[:n, 6:9],
+        sf2[:n, 9:12],
+        si2[:n, MK.I_ACTIVE] > 0,
+        si2[:n, MK.I_PREVSPEC] > 0,
+        rays_counted,
+    )
+
+
 def trace_wavefront(scene, camera, width, height, spp, seed,
                     cfg: RenderConfig = DEFAULT_CONFIG,
                     pool_size: int | None = None):
@@ -334,9 +406,11 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     def cond(st):
         return jnp.any(st["alive"])
 
+    step = _bounce_step_mk if _mk_applicable(scene, cfg) else _bounce_step
+
     def body(st):
         alive = st["alive"]
-        o, d, light, tp, still, prev_spec, counted = _bounce_step(
+        o, d, light, tp, still, prev_spec, counted = step(
             scene, st["o"], st["d"], st["light"], st["tp"], alive,
             st["prev_spec"], st["pixel"], st["sample"], st["bounce"], seed, cfg,
         )

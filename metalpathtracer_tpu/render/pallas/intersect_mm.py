@@ -333,13 +333,13 @@ def _mm_kernel_stream(lists_ref, counts_ref, x_ref, w_hbm_ref, t_ref, idx_ref,
 VMEM_RESIDENT_MAX_TRIS = 16 * 1024
 
 
-def _cull_tile_lists(x, active, tile_box, t_min):
+def _cull_tile_lists(x, active, tile_box, t_min, block_r: int = BLOCK_R):
     """Vectorized XLA cull: per ray-block, which tiles can any active ray
     enter? Returns (lists (nb, nt) int32 — passing tiles first, ascending;
     counts (nb,) int32). This runs fused in the surrounding jit and replaces
     ~1.7us/iteration of in-kernel scalar cull loop."""
     n = x.shape[0]
-    nb = n // BLOCK_R
+    nb = n // block_r
     d = x[:, 0:3]
     o = x[:, 6:9]
     inv = 1.0 / d
@@ -350,7 +350,7 @@ def _cull_tile_lists(x, active, tile_box, t_min):
     enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)
     exit_ = jnp.min(jnp.maximum(t0, t1), axis=-1)
     hit = (exit_ > enter) & (active > 0.5)  # (N, nt)
-    blk = hit.reshape(nb, BLOCK_R, -1).any(axis=1)  # (nb, nt)
+    blk = hit.reshape(nb, block_r, -1).any(axis=1)  # (nb, nt)
     counts = blk.sum(axis=1).astype(jnp.int32)
     lists = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int32)
     return lists, counts
