@@ -351,6 +351,130 @@ def _bounce_step_mk(scene, o, d, light, throughput, active, prev_spec,
     )
 
 
+def trace_wavefront_packed(scene, camera, width, height, spp, seed,
+                           cfg: RenderConfig = DEFAULT_CONFIG,
+                           pool_size: int | None = None):
+    """Megakernel wavefront with PACKED state carry.
+
+    Same algorithm as `trace_wavefront`, but the while-loop carries the
+    megakernel's native (pool,16)/(pool,8) state matrices instead of ten
+    separate arrays, so each iteration is: features+cull (XLA, ~15 ops) →
+    one fused Pallas bounce → regen in packed space (~20 ops). This removes
+    the ~30 packing ops per iteration that made the unpacked megakernel
+    slower than the split path.
+    """
+    from metalpathtracer_tpu.render.pallas import bounce_mk as MK
+    from metalpathtracer_tpu.render.pallas.intersect_mm import (
+        _cull_tile_lists,
+        ray_features,
+    )
+    from metalpathtracer_tpu.render.pipeline import generate_rays
+
+    n_pix = width * height
+    total = n_pix * spp
+    if pool_size is None:
+        pool_size = min(total, 1 << 18)
+    pool = -(-int(pool_size) // MK.MK_BLOCK_R) * MK.MK_BLOCK_R
+
+    seed_u = jnp.asarray(seed, jnp.uint32)
+    params = jnp.broadcast_to(seed_u, (4,))
+    interpret = jax.default_backend() == "cpu"
+    n_sph = int(scene.mk_sph_table.shape[0])
+
+    def fresh_state(item, keep_f, keep_i, regen):
+        """Packed state rows for regenerated lanes merged over kept rows."""
+        pixel = (item % jnp.uint32(n_pix)).astype(jnp.int32)
+        sample = (item // jnp.uint32(n_pix)).astype(jnp.int32)
+        o, d = generate_rays(
+            camera, width, height, pixel.astype(jnp.uint32),
+            sample.astype(jnp.uint32), seed_u,
+        )
+        rf = regen[:, None]
+        zeros = jnp.zeros((pool, 3), jnp.float32)
+        ones = jnp.ones((pool, 3), jnp.float32)
+        sf = jnp.concatenate(
+            [
+                jnp.where(rf, o, keep_f[:, 0:3]),
+                jnp.where(rf, d, keep_f[:, 3:6]),
+                jnp.where(rf, zeros, keep_f[:, 6:9]),
+                jnp.where(rf, ones, keep_f[:, 9:12]),
+                jnp.zeros((pool, 4), jnp.float32),
+            ],
+            axis=1,
+        )
+        ri = regen.astype(jnp.int32)
+        si = jnp.stack(
+            [
+                jnp.where(regen, pixel, keep_i[:, 0]),
+                jnp.where(regen, sample, keep_i[:, 1]),
+                jnp.where(regen, 0, keep_i[:, 2]),
+                jnp.maximum(keep_i[:, 3], ri),
+                jnp.where(regen, 1, keep_i[:, 4]),
+                keep_i[:, 5], keep_i[:, 6], keep_i[:, 7],
+            ],
+            axis=1,
+        )
+        return sf, si
+
+    item0 = jnp.arange(pool, dtype=jnp.uint32)
+    zero_f = jnp.zeros((pool, MK.STATE_F_COLS), jnp.float32)
+    zero_i = jnp.zeros((pool, MK.STATE_I_COLS), jnp.int32)
+    alive0 = item0 < total
+    sf0, si0 = fresh_state(item0, zero_f, zero_i, jnp.ones((pool,), bool))
+    si0 = si0.at[:, MK.I_ACTIVE].set(alive0.astype(jnp.int32))
+
+    state = dict(
+        sf=sf0, si=si0,
+        fb=jnp.zeros((n_pix, 3), jnp.float32),
+        next_item=jnp.uint32(min(pool, total)),
+        rays=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(st):
+        return jnp.any(st["si"][:, MK.I_ACTIVE] > 0)
+
+    def body(st):
+        sf, si = st["sf"], st["si"]
+        alive = si[:, MK.I_ACTIVE] > 0
+        rays = st["rays"] + jnp.sum(alive, dtype=jnp.int32)
+
+        x = ray_features(sf[:, 0:3], sf[:, 3:6])
+        lists, counts = _cull_tile_lists(
+            x, alive.astype(jnp.float32)[:, None], scene.mm_tile_box, T_MIN,
+            block_r=MK.MK_BLOCK_R,
+        )
+        sf2, si2 = MK.bounce_megakernel(
+            sf, si, x, lists, counts, params, scene.mk_sph_scalars,
+            scene.mm_w, scene.mk_tri_table, scene.mk_sph_table,
+            n_sph, int(cfg.rr_start), float(T_MIN), interpret,
+        )
+
+        bounce_next = si2[:, MK.I_BOUNCE] + 1
+        survivors = (si2[:, MK.I_ACTIVE] > 0) & (bounce_next < cfg.max_depth)
+        term = alive & ~survivors
+
+        light = sf2[:, 6:9]
+        flushed = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
+        fb = st["fb"].at[si2[:, MK.I_PIXEL]].add(
+            jnp.where(term[:, None], flushed, 0.0)
+        )
+
+        slot = jnp.cumsum(term.astype(jnp.uint32)) - 1
+        new_item = st["next_item"] + slot
+        regen = term & (new_item < total)
+
+        si2 = si2.at[:, MK.I_BOUNCE].set(bounce_next)
+        si2 = si2.at[:, MK.I_ACTIVE].set(survivors.astype(jnp.int32))
+        sf3, si3 = fresh_state(jnp.where(regen, new_item, 0), sf2, si2, regen)
+        next_item = jnp.minimum(
+            st["next_item"] + jnp.sum(term, dtype=jnp.uint32), jnp.uint32(total)
+        )
+        return dict(sf=sf3, si=si3, fb=fb, next_item=next_item, rays=rays)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final["fb"], final["rays"]
+
+
 def trace_wavefront(scene, camera, width, height, spp, seed,
                     cfg: RenderConfig = DEFAULT_CONFIG,
                     pool_size: int | None = None):
@@ -406,7 +530,11 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     def cond(st):
         return jnp.any(st["alive"])
 
-    step = _bounce_step_mk if _mk_applicable(scene, cfg) else _bounce_step
+    if _mk_applicable(scene, cfg):
+        return trace_wavefront_packed(
+            scene, camera, width, height, spp, seed, cfg, pool_size
+        )
+    step = _bounce_step
 
     def body(st):
         alive = st["alive"]
