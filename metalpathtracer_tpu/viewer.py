@@ -75,7 +75,7 @@ def _frame_to_ansi(img: np.ndarray) -> str:
 
 def run_viewer(scene_path: str, width: int = 128, height: int = 72,
                spp_per_frame: int = 1, max_depth: int = 8, seed: int = 0,
-               max_frames: int | None = None) -> None:
+               max_frames: int | None = None, fit_terminal: bool = False) -> None:
     import jax.numpy as jnp
 
     from metalpathtracer_tpu.io import write_png
@@ -96,6 +96,17 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
     state = init_accum(width, height)
     inputs = InputState()
 
+    def terminal_render_size():
+        try:
+            cols, rows = os.get_terminal_size()
+        except OSError:
+            return width, height
+        return max(16, cols), max(16, 2 * (rows - 1))
+
+    if fit_terminal:
+        width, height = terminal_render_size()
+        state = init_accum(width, height)
+
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
@@ -103,6 +114,15 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
     frames = 0
     try:
         while max_frames is None or frames < max_frames:
+            # resize → rebuild accumulation at the new size AND reset the
+            # sample counter (the reference forgets the reset and averages
+            # against uninitialized textures — SURVEY.md appendix 8)
+            if fit_terminal:
+                new_w, new_h = terminal_render_size()
+                if (new_w, new_h) != (width, height):
+                    width, height = new_w, new_h
+                    state = init_accum(width, height)
+                    sys.stdout.write("\x1b[2J")
             # --- input → camera (reference §3.3 latent path, now live) ---
             for k in _read_keys():
                 if k == "q":
@@ -180,9 +200,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-frames", type=int, default=None,
                    help="exit after N frames (for testing)")
+    p.add_argument("--fit-terminal", action="store_true",
+                   help="track the terminal size (resize resets accumulation)")
     a = p.parse_args(argv)
     run_viewer(a.scene, a.width, a.height, a.spp_per_frame, a.max_depth,
-               a.seed, a.max_frames)
+               a.seed, a.max_frames, a.fit_terminal)
     return 0
 
 
