@@ -33,7 +33,15 @@ def ray_sphere(o, d, center, radius, t_min=T_MIN, t_max=None, both_roots=True):
     Reference inline version uses only the near root
     (`PathTracing.h:126-141`); `both_roots=True` also accepts the far root
     (like `Intersect.h:10-40`) so dielectrics and interior views work.
-    Returns t (inf on miss).
+
+    Far-root robustness: for giant spheres (the reference's r=10000 ground),
+    f32 rounding makes c = |oc|^2 - r^2 uncertain by ~eps*r^2, so a ray
+    LEAVING the surface sees a spurious far root at t ~ 1e-4 about half the
+    time — silently re-absorbing scattered rays and losing direct light
+    (found via a 3-5%% NEE-vs-naive bias). The far root is therefore only
+    accepted when the origin is GENUINELY inside the sphere: c below an
+    f32-error margin. True interior origins (dielectric transmission,
+    interior views) sit far below the margin. Returns t (inf on miss).
     """
     oc = o - center
     a = vm.dot(d, d)
@@ -45,8 +53,9 @@ def ray_sphere(o, d, center, radius, t_min=T_MIN, t_max=None, both_roots=True):
     t_far = (-b + sqrt_d) / a
 
     valid = disc > 0.0
+    inside = c < -8.0 * 1.19e-7 * radius * radius  # ~64 ulps of r^2
     ok_near = valid & (t_near > t_min)
-    ok_far = valid & (t_far > t_min)
+    ok_far = valid & (t_far > t_min) & inside
     if t_max is not None:
         ok_near &= t_near < t_max
         ok_far &= t_far < t_max

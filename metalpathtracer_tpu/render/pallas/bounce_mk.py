@@ -221,8 +221,10 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
         tn = -bq - sq
         tf = -bq + sq
         valid = disc > 0.0
+        # far root only for genuine interior origins (see intersect.ray_sphere)
+        inside = cq < -8.0 * 1.19e-7 * r * r
         ts = jnp.where(valid & (tn > t_min), tn,
-                       jnp.where(valid & (tf > t_min), tf, _INF))
+                       jnp.where(valid & (tf > t_min) & inside, tf, _INF))
         better = ts < best_t
         return (jnp.where(better, ts, best_t),
                 jnp.where(better, s, best_slot))

@@ -120,3 +120,32 @@ def test_bruteforce_padding_never_hits():
     d = jnp.array([[-0.577, -0.577, -0.577]])
     t, idx = closest_hit_bruteforce(scene, o, d)
     assert int(idx[0]) == -1
+
+
+def test_ray_sphere_no_false_far_root_on_giant_sphere():
+    # Rays leaving the surface of an r=10000 sphere must NOT re-hit it via a
+    # spurious far root (f32 cancellation in |oc|^2 - r^2 once silently
+    # re-absorbed ~half of all ground-scattered rays).
+    import numpy as np
+
+    r = np.random.default_rng(0)
+    n = 4096
+    # points 1e-4 above the reference ground sphere, rays upward-hemisphere
+    x = r.uniform(-3, 3, n).astype(np.float32)
+    z = r.uniform(-3, 3, n).astype(np.float32)
+    y = (-10000.0 + np.sqrt(1e8 - x * x - z * z) + 1e-4).astype(np.float32)
+    o = jnp.asarray(np.stack([x, y, z], 1))
+    d = r.standard_normal((n, 3)).astype(np.float32)
+    d[:, 1] = np.abs(d[:, 1]) + 0.05
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t = ray_sphere(o, jnp.asarray(d), jnp.array([[0.0, -10000.0, 0.0]]),
+                   jnp.array([10000.0]))
+    assert np.isinf(np.asarray(t)).all(), "false self-intersections"
+
+
+def test_ray_sphere_far_root_still_works_inside():
+    # genuine interior origin (dielectric transmission) must still exit
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, -1.0]])
+    t = ray_sphere(o, d, jnp.array([[0.0, 0.0, 0.0]]), jnp.array([2.0]))
+    np.testing.assert_allclose(np.asarray(t), [2.0], rtol=1e-6)

@@ -167,7 +167,7 @@ def test_nee_matches_naive_mean():
     )
     m_naive = float(np.asarray(naive).mean())
     m_nee = float(np.asarray(nee).mean())
-    assert abs(m_naive - m_nee) / m_naive < 0.15
+    assert abs(m_naive - m_nee) / m_naive < 0.05
 
 
 def test_rr_unbiased_mean():
