@@ -297,60 +297,6 @@ def _mk_applicable(scene, cfg) -> bool:
     )
 
 
-def _bounce_step_mk(scene, o, d, light, throughput, active, prev_spec,
-                    pixel_id, sample_id, bounce, seed, cfg):
-    """Fused-bounce megakernel wrapper with the same contract as
-    `_bounce_step`. Packs state into (N,16)/(N,8) matrices, runs the Pallas
-    program, unpacks."""
-    from metalpathtracer_tpu.render.pallas import bounce_mk as MK
-    from metalpathtracer_tpu.render.pallas.intersect_mm import (
-        _cull_tile_lists,
-        ray_features,
-    )
-
-    n = o.shape[0]
-    pad = (-n) % MK.MK_BLOCK_R
-
-    sf = jnp.zeros((n + pad, MK.STATE_F_COLS), jnp.float32)
-    sf = sf.at[:n, 0:3].set(o)
-    sf = sf.at[:n, 3:6].set(d)
-    sf = sf.at[:n, 6:9].set(light)
-    sf = sf.at[:n, 9:12].set(throughput)
-    si = jnp.zeros((n + pad, MK.STATE_I_COLS), jnp.int32)
-    si = si.at[:n, MK.I_PIXEL].set(pixel_id.astype(jnp.int32))
-    si = si.at[:n, MK.I_SAMPLE].set(
-        jnp.broadcast_to(jnp.asarray(sample_id, jnp.uint32), (n,)).astype(jnp.int32)
-    )
-    si = si.at[:n, MK.I_BOUNCE].set(jnp.broadcast_to(jnp.asarray(bounce, jnp.int32), (n,)))
-    si = si.at[:n, MK.I_ACTIVE].set(active.astype(jnp.int32))
-    si = si.at[:n, MK.I_PREVSPEC].set(prev_spec.astype(jnp.int32))
-
-    x = ray_features(sf[:, 0:3], sf[:, 3:6])
-    act_col = (si[:, MK.I_ACTIVE] > 0).astype(jnp.float32)[:, None]
-    lists, counts = _cull_tile_lists(
-        x, act_col, scene.mm_tile_box, T_MIN, block_r=MK.MK_BLOCK_R
-    )
-    params = jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (4,))
-    interpret = jax.default_backend() == "cpu"
-
-    sf2, si2 = MK.bounce_megakernel(
-        sf, si, x, lists, counts, params, scene.mk_sph_scalars,
-        scene.mm_w, scene.mk_tri_table, scene.mk_sph_table,
-        int(scene.mk_sph_table.shape[0]), int(cfg.rr_start), float(T_MIN),
-        interpret,
-    )
-    rays_counted = jnp.sum(active, dtype=jnp.int32)
-    return (
-        sf2[:n, 0:3],
-        sf2[:n, 3:6],
-        sf2[:n, 6:9],
-        sf2[:n, 9:12],
-        si2[:n, MK.I_ACTIVE] > 0,
-        si2[:n, MK.I_PREVSPEC] > 0,
-        rays_counted,
-    )
-
-
 def trace_wavefront_packed(scene, camera, width, height, spp, seed,
                            cfg: RenderConfig = DEFAULT_CONFIG,
                            pool_size: int | None = None):
@@ -364,10 +310,7 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
     slower than the split path.
     """
     from metalpathtracer_tpu.render.pallas import bounce_mk as MK
-    from metalpathtracer_tpu.render.pallas.intersect_mm import (
-        _cull_tile_lists,
-        ray_features,
-    )
+    from metalpathtracer_tpu.render.pallas.intersect_mm import _cull_tile_lists_od
     from metalpathtracer_tpu.render.pipeline import generate_rays
 
     n_pix = width * height
@@ -438,13 +381,12 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
         alive = si[:, MK.I_ACTIVE] > 0
         rays = st["rays"] + jnp.sum(alive, dtype=jnp.int32)
 
-        x = ray_features(sf[:, 0:3], sf[:, 3:6])
-        lists, counts = _cull_tile_lists(
-            x, alive.astype(jnp.float32)[:, None], scene.mm_tile_box, T_MIN,
-            block_r=MK.MK_BLOCK_R,
+        lists, counts = _cull_tile_lists_od(
+            sf[:, 0:3], sf[:, 3:6], alive.astype(jnp.float32)[:, None],
+            scene.mm_tile_box, T_MIN, block_r=MK.MK_BLOCK_R,
         )
         sf2, si2 = MK.bounce_megakernel(
-            sf, si, x, lists, counts, params, scene.mk_sph_scalars,
+            sf, si, lists, counts, params, scene.mk_sph_scalars,
             scene.mm_w, scene.mk_tri_table, scene.mk_sph_table,
             n_sph, int(cfg.rr_start), float(T_MIN), interpret,
         )

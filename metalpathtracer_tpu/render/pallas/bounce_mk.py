@@ -151,17 +151,29 @@ _P_LOBE, _P_FRESNEL, _P_RR = 1, 2, 3
 
 
 def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
-                   sf_ref, si_ref, x_ref, w_ref, tri_tbl_ref, sph_tbl_ref,
+                   sf_ref, si_ref, w_ref, tri_tbl_ref, sph_tbl_ref,
                    sf_out, si_out,
                    *, n_sph: int, rr_start: int, t_min: float):
     cell = pl.program_id(0)
     sf = sf_ref[:]  # (B, 16)
     si = si_ref[:]  # (B, 8)
-    x = x_ref[:]  # (B, 12)
     b = sf.shape[0]
 
     ox, oy, oz = sf[:, F_OX], sf[:, F_OY], sf[:, F_OZ]
     dx, dy, dz = sf[:, F_DX], sf[:, F_DY], sf[:, F_DZ]
+    # ray features for the determinant matmul, built in-kernel (a separate
+    # (B,12) input cost ~50KB of double-buffered VMEM — exactly the margin
+    # that kept 512-lane blocks from fitting)
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    x = jnp.stack(
+        [dx, dy, dz, mx, my, mz, ox, oy, oz,
+         ox * dx + oy * dy + oz * dz,
+         ox * ox + oy * oy + oz * oz,
+         jnp.ones((b,), jnp.float32)],
+        axis=1,
+    )
     lr, lg, lb = sf[:, F_LR], sf[:, F_LG], sf[:, F_LB]
     tr, tg, tb = sf[:, F_TR], sf[:, F_TG], sf[:, F_TB]
     pixel = si[:, I_PIXEL].astype(jnp.uint32)
@@ -436,7 +448,7 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
 @functools.partial(
     jax.jit, static_argnames=("n_sph", "rr_start", "t_min", "interpret")
 )
-def bounce_megakernel(sf, si, x, lists, counts, params, sph_sc, w_all,
+def bounce_megakernel(sf, si, lists, counts, params, sph_sc, w_all,
                       tri_tbl, sph_tbl, n_sph: int, rr_start: int,
                       t_min: float, interpret: bool):
     """One fused bounce over the padded wavefront. All arrays pre-padded to
@@ -454,8 +466,6 @@ def bounce_megakernel(sf, si, x, lists, counts, params, sph_sc, w_all,
             pl.BlockSpec((MK_BLOCK_R, STATE_F_COLS), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((MK_BLOCK_R, STATE_I_COLS), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((MK_BLOCK_R, NUM_FEATURES), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NUM_FEATURES, p4), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -479,5 +489,5 @@ def bounce_megakernel(sf, si, x, lists, counts, params, sph_sc, w_all,
             jax.ShapeDtypeStruct((n, STATE_I_COLS), jnp.int32),
         ),
         interpret=interpret,
-    )(lists, counts, params, sph_sc, sf, si, x, w_all, tri_tbl, sph_tbl)
+    )(lists, counts, params, sph_sc, sf, si, w_all, tri_tbl, sph_tbl)
     return sf_new, si_new

@@ -104,12 +104,3 @@ def closest_hit_bvh(scene, o, d, t_min=T_MIN):
         cond, body, (stack, sp, best_t, best_i)
     )
     return best_t, best_i
-
-
-def closest_hit(scene, o, d, t_min=T_MIN, use_bvh: bool = True, chunk: int = 128):
-    """Dispatch between BVH traversal and brute-force chunk scanning."""
-    if use_bvh:
-        return closest_hit_bvh(scene, o, d, t_min)
-    from metalpathtracer_tpu.render.intersect import closest_hit_bruteforce
-
-    return closest_hit_bruteforce(scene, o, d, t_min, chunk=chunk)
