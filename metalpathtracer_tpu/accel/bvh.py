@@ -123,6 +123,11 @@ def build_bvh_from_aabbs(
         split = None
         if count > leaf_size:
             split = _best_sah_split(lo[idx], hi[idx], centroids[idx])
+            if split is None:
+                # degenerate spread (coincident/invalid boxes): force a
+                # median split — traversal only tests LEAF_SIZE prims per
+                # leaf, so an oversized leaf would silently drop hits
+                split = (0, count // 2)
         if split is None:
             node_a[node] = start
             node_b[node] = count

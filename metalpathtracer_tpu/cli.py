@@ -148,16 +148,20 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         state = init_accum(args.width, args.height)
+        run_seed = args.seed
         if args.resume and os.path.exists(args.checkpoint):
-            state, ck_seed, _ = load_checkpoint(args.checkpoint)
-            print(f"resumed at {int(state.spp)} spp", file=sys.stderr)
+            state, run_seed, _ = load_checkpoint(args.checkpoint)
+            # the checkpoint's seed wins: mixing seeds across the resume
+            # boundary would break the bit-identical-resume contract
+            print(f"resumed at {int(state.spp)} spp (seed {run_seed})",
+                  file=sys.stderr)
         while int(state.spp) < args.spp:
             k = min(args.checkpoint_every, args.spp - int(state.spp))
             state = accumulate(
                 state, scene, cam, args.width, args.height, k,
-                jnp.uint32(args.seed & 0xFFFFFFFF), cfg,
+                jnp.uint32(run_seed & 0xFFFFFFFF), cfg,
             )
-            save_checkpoint(args.checkpoint, state, args.seed)
+            save_checkpoint(args.checkpoint, state, run_seed)
             print(f"checkpoint at {int(state.spp)}/{args.spp} spp", file=sys.stderr)
         img = np.asarray(to_image(state, clamp=False))
         rays = None

@@ -182,10 +182,16 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
     # --- emissive accumulation (PathTracing.h:245-249) ---
     emissive = bsdf.is_emissive(mat_type, power)
     if cfg.nee:
-        # with NEE, BSDF-found emission only counts on camera hits or after
-        # a specular bounce; diffuse bounces get their light from the
-        # explicit light sample instead (no double counting).
-        count_emission = hit_live & emissive & prev_spec
+        ul1, ul2 = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.PURPOSE_LIGHT)
+        ldir, ldist, lrad, inv_pdf, lidx, lvalid = _sample_light_sphere(
+            scene, point, ul1, ul2
+        )
+        # NEE handles exactly ONE light (the brightest emissive sphere), so
+        # BSDF-found emission is suppressed only for hits on THAT light
+        # after a diffuse bounce; every other emitter (second light,
+        # emissive meshes) still contributes through the naive route —
+        # otherwise they would silently go dark.
+        count_emission = hit_live & emissive & (prev_spec | (idx != lidx))
     else:
         count_emission = hit_live & emissive
     light = light + jnp.where(
@@ -194,10 +200,6 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
 
     # --- next-event estimation (extension; BASELINE config 4) ---
     if cfg.nee:
-        ul1, ul2 = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.PURPOSE_LIGHT)
-        ldir, ldist, lrad, inv_pdf, lidx, lvalid = _sample_light_sphere(
-            scene, point, ul1, ul2
-        )
         is_diffuse = (mat_type == 0.0) | (mat_type == 2.0)
         cos_s = vm.dot(normal, ldir)
         cand = hit_live & is_diffuse & (cos_s > 0.0) & lvalid & ~emissive
@@ -315,6 +317,11 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
 
     n_pix = width * height
     total = n_pix * spp
+    if total > (1 << 31):
+        raise ValueError(
+            f"{total} work items overflow the uint32 queue; render in "
+            "chunks via render_image/sample_offset instead"
+        )
     if pool_size is None:
         pool_size = min(total, 1 << 18)
     pool = -(-int(pool_size) // MK.MK_BLOCK_R) * MK.MK_BLOCK_R
@@ -438,10 +445,20 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
 
     Returns (rgb_sum (H*W, 3), rays_traced) — divide by spp for the image.
     """
+    if _mk_applicable(scene, cfg):
+        return trace_wavefront_packed(
+            scene, camera, width, height, spp, seed, cfg, pool_size
+        )
+
     from metalpathtracer_tpu.render.pipeline import generate_rays
 
     n_pix = width * height
     total = n_pix * spp
+    if total > (1 << 31):
+        raise ValueError(
+            f"{total} work items overflow the uint32 queue; render in "
+            "chunks via render_image/sample_offset instead"
+        )
     if pool_size is None:
         pool_size = min(total, 1 << 18)
     pool = int(pool_size)
@@ -472,15 +489,9 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     def cond(st):
         return jnp.any(st["alive"])
 
-    if _mk_applicable(scene, cfg):
-        return trace_wavefront_packed(
-            scene, camera, width, height, spp, seed, cfg, pool_size
-        )
-    step = _bounce_step
-
     def body(st):
         alive = st["alive"]
-        o, d, light, tp, still, prev_spec, counted = step(
+        o, d, light, tp, still, prev_spec, counted = _bounce_step(
             scene, st["o"], st["d"], st["light"], st["tp"], alive,
             st["prev_spec"], st["pixel"], st["sample"], st["bounce"], seed, cfg,
         )

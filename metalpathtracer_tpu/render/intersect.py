@@ -36,12 +36,14 @@ def ray_sphere(o, d, center, radius, t_min=T_MIN, t_max=None, both_roots=True):
 
     Far-root robustness: for giant spheres (the reference's r=10000 ground),
     f32 rounding makes c = |oc|^2 - r^2 uncertain by ~eps*r^2, so a ray
-    LEAVING the surface sees a spurious far root at t ~ 1e-4 about half the
+    LEAVING the surface sees a spurious far root at t ~ eps*r about half the
     time — silently re-absorbing scattered rays and losing direct light
-    (found via a 3-5%% NEE-vs-naive bias). The far root is therefore only
-    accepted when the origin is GENUINELY inside the sphere: c below an
-    f32-error margin. True interior origins (dielectric transmission,
-    interior views) sit far below the margin. Returns t (inf on miss).
+    (found via a 3-5%% NEE-vs-naive bias). Spurious far roots are bounded by
+    t_far ~ eps*r/cos(theta), while genuine interior chords are at least
+    ~2*sqrt(2*r*depth), so the far root is accepted only when c < 0 AND
+    t_far exceeds a radius-scaled floor — valid for any sphere size
+    (dielectric transmission offsets of 1e-4 give chords >= 0.028*sqrt(r)).
+    Returns t (inf on miss).
     """
     oc = o - center
     a = vm.dot(d, d)
@@ -53,9 +55,9 @@ def ray_sphere(o, d, center, radius, t_min=T_MIN, t_max=None, both_roots=True):
     t_far = (-b + sqrt_d) / a
 
     valid = disc > 0.0
-    inside = c < -8.0 * 1.19e-7 * radius * radius  # ~64 ulps of r^2
+    far_floor = jnp.maximum(t_min, 3.0e-5 * radius)  # >> eps*r spurious roots
     ok_near = valid & (t_near > t_min)
-    ok_far = valid & (t_far > t_min) & inside
+    ok_far = valid & (c < 0.0) & (t_far > far_floor)
     if t_max is not None:
         ok_near &= t_near < t_max
         ok_far &= t_far < t_max

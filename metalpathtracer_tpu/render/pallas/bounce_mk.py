@@ -233,10 +233,10 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
         tn = -bq - sq
         tf = -bq + sq
         valid = disc > 0.0
-        # far root only for genuine interior origins (see intersect.ray_sphere)
-        inside = cq < -8.0 * 1.19e-7 * r * r
+        # far root only past a radius-scaled floor (see intersect.ray_sphere)
+        far_floor = jnp.maximum(t_min, 3.0e-5 * r)
         ts = jnp.where(valid & (tn > t_min), tn,
-                       jnp.where(valid & (tf > t_min) & inside, tf, _INF))
+                       jnp.where(valid & (cq < 0.0) & (tf > far_floor), tf, _INF))
         better = ts < best_t
         return (jnp.where(better, ts, best_t),
                 jnp.where(better, s, best_slot))
@@ -246,28 +246,28 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
         (jnp.full((b,), _INF), jnp.full((b,), -1, jnp.int32)),
     )
 
-    # ---------------- winner row via one-hot matmuls ----------------------
-    tri_wins = t_tri < t_sph
+    # ---------------- winner rows via one-hot matmuls ----------------------
+    # Fetch the TRIANGLE candidate row first, refine its t exactly, and only
+    # then decide tri-vs-sphere: deciding on the approximate matmul t and
+    # fetching a single merged row loses the sphere hit whenever the exact
+    # recompute rejects the triangle (light leaks through geometry).
+    tri_cand = jnp.isfinite(t_tri)
 
     def fetch_body(j, acc):
         i = lists_ref[cell, j]
         local = best_col - i * TILE_P
-        oh = ((col == local[:, None]) & tri_wins[:, None]).astype(jnp.float32)
+        oh = ((col == local[:, None]) & tri_cand[:, None]).astype(jnp.float32)
         rows = tri_tbl_ref[pl.ds(i * TILE_P, TILE_P), :]
         return acc + jnp.dot(oh, rows, preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(
+    acc_tri = jax.lax.fori_loop(
         0, count, fetch_body, jnp.zeros((b, TBL_COLS), jnp.float32)
     )
-    s_pad = sph_tbl_ref.shape[0]
-    scol = jax.lax.broadcasted_iota(jnp.int32, (b, s_pad), 1)
-    soh = ((scol == best_slot[:, None]) & (~tri_wins)[:, None]).astype(jnp.float32)
-    acc = acc + jnp.dot(soh, sph_tbl_ref[:, :], preferred_element_type=jnp.float32)
 
-    # ---------------- exact triangle refine + surface frame ---------------
-    v0x, v0y, v0z = acc[:, 0], acc[:, 1], acc[:, 2]
-    e1x, e1y, e1z = acc[:, 3], acc[:, 4], acc[:, 5]
-    e2x, e2y, e2z = acc[:, 6], acc[:, 7], acc[:, 8]
+    # ---------------- exact triangle refine -------------------------------
+    v0x, v0y, v0z = acc_tri[:, 0], acc_tri[:, 1], acc_tri[:, 2]
+    e1x, e1y, e1z = acc_tri[:, 3], acc_tri[:, 4], acc_tri[:, 5]
+    e2x, e2y, e2z = acc_tri[:, 6], acc_tri[:, 7], acc_tri[:, 8]
     # h = d x e2; a = e1.h
     hx = dy * e2z - dz * e2y
     hy = dz * e2x - dx * e2z
@@ -282,9 +282,18 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
     qz = sx * e1y - sy * e1x
     v = f * (dx * qx + dy * qy + dz * qz)
     t_ex = f * (e2x * qx + e2y * qy + e2z * qz)
-    ok_ex = ((~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+    ok_ex = (tri_cand & (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
              & (u + v <= 1.0) & (t_ex > t_min))
     t_tri_exact = jnp.where(ok_ex, t_ex, _INF)
+
+    tri_wins = t_tri_exact < t_sph
+
+    # sphere winner row (tiny table), then merge
+    s_pad = sph_tbl_ref.shape[0]
+    scol = jax.lax.broadcasted_iota(jnp.int32, (b, s_pad), 1)
+    soh = ((scol == best_slot[:, None]) & (~tri_wins)[:, None]).astype(jnp.float32)
+    acc_sph = jnp.dot(soh, sph_tbl_ref[:, :], preferred_element_type=jnp.float32)
+    acc = jnp.where(tri_wins[:, None], acc_tri, acc_sph)
 
     t = jnp.where(tri_wins, t_tri_exact, t_sph)
     hit = active & jnp.isfinite(t)
@@ -295,10 +304,10 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
     py = oy + tsafe * dy
     pz = oz + tsafe * dz
 
-    # normal: tri from table n; sphere (point - center)
-    nx = jnp.where(tri_wins, acc[:, 9], px - v0x)  # sphere center sits in 0:3
-    ny = jnp.where(tri_wins, acc[:, 10], py - v0y)
-    nz = jnp.where(tri_wins, acc[:, 11], pz - v0z)
+    # normal: tri from table n; sphere (point - center; center sits in 0:3)
+    nx = jnp.where(tri_wins, acc[:, 9], px - acc[:, 0])
+    ny = jnp.where(tri_wins, acc[:, 10], py - acc[:, 1])
+    nz = jnp.where(tri_wins, acc[:, 11], pz - acc[:, 2])
     nlen2 = nx * nx + ny * ny + nz * nz
     ninv = jnp.where(nlen2 > 1e-20, jax.lax.rsqrt(nlen2), 0.0)
     nx, ny, nz = nx * ninv, ny * ninv, nz * ninv

@@ -63,17 +63,15 @@ def relative_mse(a: np.ndarray, ref: np.ndarray, eps: float = 1e-2) -> float:
 
 
 class Timer:
-    """Wall-clock timer that blocks on device completion."""
+    """Plain wall-clock timer. Does NOT synchronize the device — JAX
+    dispatch is async, so wrap device work with `jax.block_until_ready`
+    inside the block (or use `timed_render`, which does this for you)."""
 
     def __enter__(self):
         self.start = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        import jax
-
-        # ensure queued device work is included
-        jax.effects_barrier() if hasattr(jax, "effects_barrier") else None
         self.seconds = time.perf_counter() - self.start
         return False
 

@@ -138,6 +138,9 @@ struct Builder {
       auto split = best_split(start, end);
       axis = split.first;
       k = split.second;
+      // degenerate SAH (zero/invalid surface area): force a median split —
+      // leaves must stay <= leaf_size or traversal silently drops hits
+      if (k == 0) k = count / 2;
     }
     if (k == 0) {  // leaf
       node_a[node] = start;

@@ -58,3 +58,13 @@ def test_bvh_quality_random_cloud():
 def test_bvh_empty_raises():
     with pytest.raises(ValueError):
         build_bvh_from_aabbs(np.zeros((0, 3)), np.zeros((0, 3)))
+
+
+def test_bvh_degenerate_boxes_respect_leaf_size():
+    # >8 coincident/zero-area boxes: SAH degenerates but leaves must still
+    # stay within LEAF_SIZE (traversal only tests 8 prims per leaf)
+    lo = np.zeros((20, 3), np.float32)
+    hi = np.zeros((20, 3), np.float32)  # zero-area boxes → parent SA = 0
+    bvh = build_bvh_from_aabbs(lo, hi)
+    validate_bvh(bvh, lo, hi)
+    assert bvh.node_b[bvh.node_b > 0].max() <= 8

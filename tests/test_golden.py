@@ -86,5 +86,10 @@ def test_golden_reference_scene():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        import jax
+
+        # goldens are CPU renders; the baked sitecustomize would otherwise
+        # route this to the TPU tunnel and bake TPU fp into the goldens
+        jax.config.update("jax_platforms", "cpu")
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         regen()

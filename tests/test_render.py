@@ -191,3 +191,33 @@ def test_sky_color_values():
     sky = np.asarray(sky_color(d))
     np.testing.assert_allclose(sky[0], [0.6, 0.7, 1.0], atol=1e-6)  # zenith
     np.testing.assert_allclose(sky[1], [1.0, 1.0, 1.0], atol=1e-6)  # nadir
+
+
+def test_nee_second_emitter_not_lost():
+    # NEE samples only the brightest light; a second, dimmer emitter must
+    # still contribute through the BSDF route (was silently zeroed).
+    s = HostScene()
+    s.add_sphere((0, -10000, 0), 10000.0, Material(albedo=(0.8, 0.8, 0.8)))
+    s.add_sphere((-2, 4, 0), 1.0, Material(albedo=(0, 0, 0),
+                 emission_color=(1, 1, 1), emission_power=5))
+    s.add_sphere((2, 4, 0), 1.0, Material(albedo=(0, 0, 0),
+                 emission_color=(1, 1, 1), emission_power=4))
+    s.add_sphere((0, 0, 0), 50.0, Material(albedo=(0, 0, 0)))
+    scene = upload_scene(s)
+    cam = Camera.look_at((0, 3, 8), (0, 0, 0), vfov_deg=50.0)
+    naive, _ = render_image(scene, cam, 24, 24, spp=512, seed=1,
+                            cfg=RenderConfig(max_depth=2), spp_per_pass=128)
+    nee, _ = render_image(scene, cam, 24, 24, spp=256, seed=2,
+                          cfg=RenderConfig(max_depth=2, nee=True),
+                          spp_per_pass=128)
+    m0 = float(np.asarray(naive).mean())
+    m1 = float(np.asarray(nee).mean())
+    assert abs(m0 - m1) / m0 < 0.08, (m0, m1)
+
+
+def test_wavefront_rejects_oversized_queue():
+    scene = upload_scene(presets.cornell_spheres())
+    from metalpathtracer_tpu.render import render_image_wavefront
+
+    with pytest.raises(ValueError):
+        render_image_wavefront(scene, CORNELL_CAM, 65536, 65536, spp=1)
