@@ -49,9 +49,9 @@ def main() -> int:
     cfg = RenderConfig(max_depth=32)
     spp = 4
 
-    # pool 2^14 measured optimal for this open scene (drain-tail cost scales
+    # pool 2^12 measured optimal for this open scene (drain-tail cost scales
     # with pool size; see docs/PERFORMANCE.md)
-    pool = 1 << 14
+    pool = 1 << 12
 
     # warmup / compile
     img, rays = render_image_wavefront(scene, camera, width, height, spp, seed=0, cfg=cfg, pool_size=pool)
