@@ -46,7 +46,7 @@ def main() -> int:
     scene = upload_scene(load_scene_xml(os.path.join(repo, "scenes", "reference.xml")))
     camera = Camera.reset()  # the reference's default view
     width, height = 1280, 720
-    cfg = RenderConfig(max_depth=32)
+    cfg = RenderConfig(max_depth=32, bounces_per_iter=2)
     spp = 4
 
     # pool 2^12 measured optimal for this open scene (drain-tail cost scales

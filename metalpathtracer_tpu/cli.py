@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "regeneration (fastest on open scenes)")
     p.add_argument("--pool-size", type=int, default=None,
                    help="wavefront lane-pool size (default: auto)")
+    p.add_argument("--bounces-per-iter", type=int, default=1,
+                   help="wavefront bounces per regeneration cycle")
     p.add_argument("--megakernel", action="store_true",
                    help="experimental fused-bounce Pallas megakernel "
                         "(wavefront only; no NEE)")
@@ -128,6 +130,7 @@ def main(argv=None) -> int:
         rr_start=args.rr_start,
         nee=args.nee,
         megakernel=args.megakernel,
+        bounces_per_iter=args.bounces_per_iter,
     )
 
     output = args.output

@@ -65,6 +65,11 @@ class RenderConfig:
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
     nee: bool = False  # next-event estimation for emissive spheres
+    # wavefront bounces advanced per regeneration cycle: >1 amortizes the
+    # fixed per-iteration regen cost when iteration count dominates (small
+    # pools), at the price of lanes idling between their death and the next
+    # regen. Estimate is invariant to this value.
+    bounces_per_iter: int = 1
 
 
 DEFAULT_CONFIG = RenderConfig()
@@ -491,11 +496,22 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
 
     def body(st):
         alive = st["alive"]
-        o, d, light, tp, still, prev_spec, counted = _bounce_step(
-            scene, st["o"], st["d"], st["light"], st["tp"], alive,
-            st["prev_spec"], st["pixel"], st["sample"], st["bounce"], seed, cfg,
-        )
-        bounce_next = st["bounce"] + 1
+        # multiple bounces per iteration amortize the regen machinery
+        # (cumsum, scatter-add, raygen, ~20 masked updates) whose fixed op
+        # cost dominates when the pool is small
+        o, d, light, tp = st["o"], st["d"], st["light"], st["tp"]
+        prev_spec = st["prev_spec"]
+        bounce = st["bounce"]
+        still = alive
+        counted = jnp.zeros((), jnp.int32)
+        for k in range(max(1, cfg.bounces_per_iter)):
+            step_active = still & (bounce + k < cfg.max_depth)
+            o, d, light, tp, still, prev_spec, c = _bounce_step(
+                scene, o, d, light, tp, step_active, prev_spec,
+                st["pixel"], st["sample"], bounce + k, seed, cfg,
+            )
+            counted = counted + c
+        bounce_next = bounce + max(1, cfg.bounces_per_iter)
         survivors = still & (bounce_next < cfg.max_depth)
         term = alive & ~survivors
 

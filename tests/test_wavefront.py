@@ -77,3 +77,16 @@ def test_wavefront_clamp(cornell):
 def test_wavefront_rejects_bad_spp(cornell):
     with pytest.raises(ValueError):
         render_image_wavefront(cornell, CAM, 8, 8, spp=0)
+
+
+def test_wavefront_bounces_per_iter_invariant(cornell):
+    base, rb = render_image(cornell, CAM, 24, 24, spp=4, seed=5,
+                            cfg=RenderConfig(max_depth=6), spp_per_pass=4)
+    for bpi in (2, 3):
+        img, r = render_image_wavefront(
+            cornell, CAM, 24, 24, spp=4, seed=5,
+            cfg=RenderConfig(max_depth=6, bounces_per_iter=bpi), pool_size=512,
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(base),
+                                   rtol=1e-5, atol=1e-6)
+        assert r == rb
