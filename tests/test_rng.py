@@ -73,3 +73,23 @@ def test_random_unit_vector_is_uniform_sphere():
     z = v[:, 2]
     t = np.arctan2(v[:, 1], v[:, 0])
     assert abs(np.corrcoef(z, t)[0, 1]) < 0.02
+
+
+def test_uniformity_across_sample_axis_chi_square():
+    # the progressive-accumulation axis: fixed pixel, varying sample id.
+    # This is the stream whose quality determines whether spp converges
+    # (a correlated stream here once masked an estimator bug).
+    samples = jnp.arange(1 << 14, dtype=jnp.uint32)
+    u1, u2 = rng.uniform2(5, jnp.uint32(777), samples, 0, rng.PURPOSE_LOBE)
+    for u in (np.asarray(u1), np.asarray(u2)):
+        counts, _ = np.histogram(u, bins=64, range=(0.0, 1.0))
+        expected = len(u) / 64
+        chi2 = ((counts - expected) ** 2 / expected).sum()
+        # chi2(63 dof): mean 63, std ~11.2; 5-sigma bound
+        assert chi2 < 63 + 5 * 11.3, chi2
+    # pairwise independence of (u1, u2) via 2-D occupancy
+    h2, _, _ = np.histogram2d(np.asarray(u1), np.asarray(u2), bins=16,
+                              range=[[0, 1], [0, 1]])
+    expected = len(np.asarray(u1)) / 256
+    chi2 = ((h2 - expected) ** 2 / expected).sum()
+    assert chi2 < 255 + 5 * np.sqrt(2 * 255), chi2
