@@ -141,11 +141,20 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     if args.tile_shard:
-        from metalpathtracer_tpu.parallel import render_image_sharded
+        if args.wavefront:
+            from metalpathtracer_tpu.parallel import render_image_wavefront_sharded
 
-        img, rays = render_image_sharded(
-            scene, cam, args.width, args.height, args.spp, seed=args.seed, cfg=cfg
-        )
+            img, rays = render_image_wavefront_sharded(
+                scene, cam, args.width, args.height, args.spp,
+                seed=args.seed, cfg=cfg, pool_size=args.pool_size,
+            )
+        else:
+            from metalpathtracer_tpu.parallel import render_image_sharded
+
+            img, rays = render_image_sharded(
+                scene, cam, args.width, args.height, args.spp,
+                seed=args.seed, cfg=cfg,
+            )
         img = np.asarray(img)
     elif args.checkpoint:
         import jax.numpy as jnp

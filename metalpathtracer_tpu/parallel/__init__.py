@@ -4,6 +4,7 @@ from metalpathtracer_tpu.parallel.sharding import (
     render_image_sample_sharded,
     render_image_sharded,
     render_image_sharded_2d,
+    render_image_wavefront_sharded,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "render_image_sharded",
     "render_image_sample_sharded",
     "render_image_sharded_2d",
+    "render_image_wavefront_sharded",
 ]

@@ -56,3 +56,17 @@ def test_accumulate_then_shard_consistency():
     sharded, _ = render_image_sharded(scene, CAM, 16, 16, spp=4, seed=3,
                                       cfg=cfg, mesh=make_mesh(4))
     np.testing.assert_allclose(prog, np.asarray(sharded), rtol=1e-6, atol=1e-7)
+
+
+def test_wavefront_sharded_bit_identical():
+    from metalpathtracer_tpu.parallel import render_image_wavefront_sharded
+    from metalpathtracer_tpu.render import render_image_wavefront
+
+    scene = upload_scene(presets.cornell_spheres())
+    cfg = RenderConfig(max_depth=4)
+    base, rb = render_image_wavefront(scene, CAM, 16, 16, spp=4, seed=3,
+                                      cfg=cfg, pool_size=256)
+    img, r = render_image_wavefront_sharded(scene, CAM, 16, 16, spp=4, seed=3,
+                                            cfg=cfg, pool_size=256)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+    assert r == rb
