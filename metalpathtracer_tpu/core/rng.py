@@ -35,7 +35,7 @@ PURPOSE_LIGHT = 4  # next-event-estimation light sampling
 PURPOSE_LENS = 5  # depth-of-field lens sampling (future)
 
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+_PARITY = 0x1BD11BDA  # threefry key-schedule parity constant
 
 
 def _rotl(x: jnp.ndarray, r: int) -> jnp.ndarray:
@@ -60,7 +60,7 @@ def threefry2x32(k0, k1, c0, c1):
     x0 = _u32(c0)
     x1 = _u32(c1)
 
-    ks = (k0, k1, _PARITY ^ k0 ^ k1)
+    ks = (k0, k1, jnp.uint32(_PARITY) ^ k0 ^ k1)
     x0 = x0 + ks[0]
     x1 = x1 + ks[1]
 

@@ -20,11 +20,14 @@ TPU, and the select is cheap next to the intersection work.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from metalpathtracer_tpu.core import vecmath as vm
 
-SKY_HORIZON = jnp.array([1.0, 1.0, 1.0], jnp.float32)
-SKY_ZENITH = jnp.array([0.6, 0.7, 1.0], jnp.float32)
+# numpy on purpose: jnp arrays at import time would initialize the backend
+# before callers can pin a platform (jnp converts these on use)
+SKY_HORIZON = np.array([1.0, 1.0, 1.0], np.float32)
+SKY_ZENITH = np.array([0.6, 0.7, 1.0], np.float32)
 
 
 def sky_color(d_unit: jnp.ndarray) -> jnp.ndarray:

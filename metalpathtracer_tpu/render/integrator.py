@@ -70,6 +70,13 @@ class RenderConfig:
     # pools), at the price of lanes idling between their death and the next
     # regen. Estimate is invariant to this value.
     bounces_per_iter: int = 1
+    # scale the scatter-origin offset with the hit point's coordinate
+    # magnitude: the reference's fixed 1e-4 (PathTracing.h:253) is BELOW the
+    # f32 position quantization once coordinates exceed ~2 (eps(25) ~ 2e-6
+    # per ulp * mantissa ~ 1.5e-3), producing shadow acne ("sparkle") on
+    # meshes at the shipped scene's scale. Off restores the exact reference
+    # constant.
+    adaptive_offset: bool = True
 
 
 DEFAULT_CONFIG = RenderConfig()
@@ -224,7 +231,11 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
     d_out, offset_sign = bsdf.sample_bsdf(
         d, normal, front_face, mat_type, fuzz, unit_vec, u_fres
     )
-    new_o = point + (1e-4 * offset_sign)[..., None] * normal
+    if cfg.adaptive_offset:
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(point), axis=-1))
+        new_o = point + (1e-4 * offset_sign * scale)[..., None] * normal
+    else:
+        new_o = point + (1e-4 * offset_sign)[..., None] * normal
     new_tp = throughput * albedo
 
     # --- Russian roulette (extension; unbiased early termination) ---

@@ -24,7 +24,7 @@ from metalpathtracer_tpu.scene.types import PRIM_SPHERE, PRIM_TRIANGLE
 
 T_MIN = 1e-4
 TRI_PARALLEL_EPS = 1e-5
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # plain float: a jnp scalar here would init the backend at import
 
 
 def ray_sphere(o, d, center, radius, t_min=T_MIN, t_max=None, both_roots=True):

@@ -405,7 +405,11 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
     ndy = jnp.where(is_dielectric, diy, jnp.where(is_mirror, my, lamy))
     ndz = jnp.where(is_dielectric, diz, jnp.where(is_mirror, mz, lamz))
     transmitted = is_dielectric & ~choose_reflect
-    off = jnp.where(transmitted, -1e-4, 1e-4)
+    # adaptive offset: scaled by coordinate magnitude (see integrator)
+    oscale = jnp.maximum(
+        1.0, jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz)))
+    )
+    off = jnp.where(transmitted, -1e-4, 1e-4) * oscale
 
     nox = px + off * nx
     noy = py + off * ny

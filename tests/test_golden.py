@@ -10,6 +10,10 @@ estimator change.
 import os
 import sys
 
+# allow direct execution (`python tests/test_golden.py regen`): python puts
+# tests/ on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from metalpathtracer_tpu.render import Camera, RenderConfig, render_image, upload_scene
@@ -91,5 +95,4 @@ if __name__ == "__main__":
         # goldens are CPU renders; the baked sitecustomize would otherwise
         # route this to the TPU tunnel and bake TPU fp into the goldens
         jax.config.update("jax_platforms", "cpu")
-        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         regen()
