@@ -5,6 +5,7 @@ from metalpathtracer_tpu.render.integrator import (
     REFERENCE_CONFIG,
     RenderConfig,
     trace,
+    trace_wavefront,
 )
 from metalpathtracer_tpu.render.pipeline import (
     AccumState,
@@ -26,6 +27,7 @@ __all__ = [
     "DEFAULT_CONFIG",
     "REFERENCE_CONFIG",
     "trace",
+    "trace_wavefront",
     "AccumState",
     "accumulate",
     "init_accum",

@@ -80,7 +80,11 @@ class RenderConfig:
 
 
 DEFAULT_CONFIG = RenderConfig()
-REFERENCE_CONFIG = RenderConfig(max_depth=32, clamp_radiance=True)
+# strict reference parity: per-sample [0,1] clamp (PathTracing.h:258) and
+# the fixed 1e-4 scatter offset (PathTracing.h:253)
+REFERENCE_CONFIG = RenderConfig(
+    max_depth=32, clamp_radiance=True, adaptive_offset=False
+)
 
 
 # Up to this many triangles the tile-culled MXU intersector wins (weights

@@ -105,3 +105,12 @@ def test_rng_fixes_reference_defects():
     s0 = np.asarray(rng.uniform1(1, pix, 0, 0, rng.PURPOSE_JITTER_X))
     s1 = np.asarray(rng.uniform1(1, pix, 1, 0, rng.PURPOSE_JITTER_X))
     assert not np.array_equal(s0, s1)  # frames advance the stream
+
+
+def test_reference_config_is_strict():
+    from metalpathtracer_tpu.render import REFERENCE_CONFIG
+
+    assert REFERENCE_CONFIG.clamp_radiance is True
+    assert REFERENCE_CONFIG.adaptive_offset is False
+    assert REFERENCE_CONFIG.max_depth == 32
+    assert REFERENCE_CONFIG.nee is False and REFERENCE_CONFIG.rr_start == 0
