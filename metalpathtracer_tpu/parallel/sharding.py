@@ -119,15 +119,21 @@ def render_image_wavefront_sharded(
     the round's fastest integrator. Each shard's regeneration queue, lane
     pool, and framebuffer scatter are chip-local; the only cross-chip
     traffic is the final framebuffer gather. Bit-identical to the
-    single-device wavefront (positional RNG)."""
-    from metalpathtracer_tpu.render.camera import Camera as _Camera
+    single-device wavefront (positional RNG, global pixel ids), and honors
+    every RenderConfig knob (megakernel, bounces_per_iter, ...) because it
+    delegates to `integrator.trace_wavefront` with a per-shard pixel range.
+    """
+    from metalpathtracer_tpu.core import rng as _rng
     from metalpathtracer_tpu.render.integrator import trace_wavefront
 
+    if spp <= 0:
+        raise ValueError(f"spp must be positive, got {spp}")
     if mesh is None:
         mesh = make_mesh()
     n = mesh.devices.size
     _check_divisible(height, n)
     rows_per = height // n
+    n_local = rows_per * width
 
     @functools.partial(
         jax.shard_map,
@@ -138,94 +144,13 @@ def render_image_wavefront_sharded(
     )
     def shard_fn(scene, camera):
         i = jax.lax.axis_index("tiles")
-        # shift the viewport so this shard renders rows [i*rows_per, ...):
-        # trace_wavefront enumerates pixels 0..rows_per*width over a
-        # rows_per-tall image whose first pixel is offset via the camera
-        # basis — instead we keep the full-image pixel ids by offsetting the
-        # work-item -> pixel mapping with a wrapper around generate_rays.
-        fb, rays = _trace_rows(
-            scene, camera, i, rows_per,
+        fb, rays = trace_wavefront(
+            scene, camera, width, height, spp, _rng.seed_from_int(seed),
+            cfg, pool_size,
+            pixel_offset=i.astype(jnp.uint32) * jnp.uint32(n_local),
+            n_pixels=n_local,
         )
         return fb.reshape(rows_per, width, 3), jax.lax.psum(rays, "tiles")
-
-    def _trace_rows(scene, camera, tile_idx, rows_per):
-        # per-shard wavefront over the full-image pixel ids of this tile
-        from metalpathtracer_tpu.core import rng as _rng
-        from metalpathtracer_tpu.render.integrator import (
-            _bounce_step,
-        )
-        from metalpathtracer_tpu.render.pipeline import generate_rays
-
-        n_pix = rows_per * width
-        first = tile_idx.astype(jnp.uint32) * jnp.uint32(n_pix)
-        total = n_pix * spp
-        pool = int(pool_size or min(total, 1 << 14))
-
-        def items_to_rays(item):
-            local_pixel = (item % jnp.uint32(n_pix)).astype(jnp.uint32)
-            pixel = first + local_pixel
-            sample = (item // jnp.uint32(n_pix)).astype(jnp.uint32)
-            o, d = generate_rays(
-                camera, width, height, pixel, sample, _rng.seed_from_int(seed)
-            )
-            return local_pixel, pixel, sample, o, d
-
-        item0 = jnp.arange(pool, dtype=jnp.uint32)
-        lpix, pixel, sample, o, d = items_to_rays(item0)
-        st = dict(
-            lpix=lpix, pixel=pixel, sample=sample, o=o, d=d,
-            bounce=jnp.zeros((pool,), jnp.int32),
-            light=jnp.zeros((pool, 3), jnp.float32),
-            tp=jnp.ones((pool, 3), jnp.float32),
-            prev_spec=jnp.ones((pool,), bool),
-            alive=item0 < total,
-            fb=jnp.zeros((n_pix, 3), jnp.float32),
-            next_item=jnp.uint32(min(pool, total)),
-            rays=jnp.zeros((), jnp.int32),
-        )
-
-        def cond(st):
-            return jnp.any(st["alive"])
-
-        def body(st):
-            alive = st["alive"]
-            o, d, light, tp, still, prev_spec, counted = _bounce_step(
-                scene, st["o"], st["d"], st["light"], st["tp"], alive,
-                st["prev_spec"], st["pixel"], st["sample"], st["bounce"],
-                _rng.seed_from_int(seed), cfg,
-            )
-            bounce_next = st["bounce"] + 1
-            survivors = still & (bounce_next < cfg.max_depth)
-            term = alive & ~survivors
-            flushed = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
-            fb = st["fb"].at[st["lpix"]].add(
-                jnp.where(term[:, None], flushed, 0.0)
-            )
-            slot = jnp.cumsum(term.astype(jnp.uint32)) - 1
-            new_item = st["next_item"] + slot
-            regen = term & (new_item < total)
-            nl, npx, nsmp, no, nd = items_to_rays(jnp.where(regen, new_item, 0))
-            return dict(
-                lpix=jnp.where(regen, nl, st["lpix"]),
-                pixel=jnp.where(regen, npx, st["pixel"]),
-                sample=jnp.where(regen, nsmp, st["sample"]),
-                o=jnp.where(regen[:, None], no, o),
-                d=jnp.where(regen[:, None], nd, d),
-                bounce=jnp.where(regen, 0, bounce_next),
-                light=jnp.where(regen[:, None], 0.0, light),
-                tp=jnp.where(regen[:, None], 1.0, tp),
-                prev_spec=jnp.where(regen, True, prev_spec),
-                alive=survivors | regen,
-                fb=fb,
-                next_item=jnp.minimum(
-                    st["next_item"] + jnp.sum(term, dtype=jnp.uint32),
-                    jnp.uint32(total),
-                ),
-                rays=st["rays"] + counted,
-            )
-
-        final = jax.lax.while_loop(cond, body, st)
-        return final["fb"], final["rays"]
 
     with mesh:
         rgb_sum, rays = jax.jit(shard_fn)(scene, camera)

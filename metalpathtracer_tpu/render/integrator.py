@@ -207,7 +207,9 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
         # after a diffuse bounce; every other emitter (second light,
         # emissive meshes) still contributes through the naive route —
         # otherwise they would silently go dark.
-        count_emission = hit_live & emissive & (prev_spec | (idx != lidx))
+        count_emission = (
+            hit_live & emissive & (prev_spec | (idx != lidx) | ~lvalid)
+        )
     else:
         count_emission = hit_live & emissive
     light = light + jnp.where(
@@ -321,7 +323,9 @@ def _mk_applicable(scene, cfg) -> bool:
 
 def trace_wavefront_packed(scene, camera, width, height, spp, seed,
                            cfg: RenderConfig = DEFAULT_CONFIG,
-                           pool_size: int | None = None):
+                           pool_size: int | None = None,
+                           pixel_offset: int = 0,
+                           n_pixels: int | None = None):
     """Megakernel wavefront with PACKED state carry.
 
     Same algorithm as `trace_wavefront`, but the while-loop carries the
@@ -335,7 +339,7 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
     from metalpathtracer_tpu.render.pallas.intersect_mm import _cull_tile_lists_od
     from metalpathtracer_tpu.render.pipeline import generate_rays
 
-    n_pix = width * height
+    n_pix = n_pixels if n_pixels is not None else width * height
     total = n_pix * spp
     if total > (1 << 31):
         raise ValueError(
@@ -352,8 +356,12 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
     n_sph = int(scene.mk_sph_table.shape[0])
 
     def fresh_state(item, keep_f, keep_i, regen):
-        """Packed state rows for regenerated lanes merged over kept rows."""
-        pixel = (item % jnp.uint32(n_pix)).astype(jnp.int32)
+        """Packed state rows for regenerated lanes merged over kept rows.
+        The stored pixel id is GLOBAL (pixel_offset + local queue pixel) so
+        RNG streams and raygen are shard-layout invariant."""
+        pixel = (
+            (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
+        ).astype(jnp.int32)
         sample = (item // jnp.uint32(n_pix)).astype(jnp.int32)
         o, d = generate_rays(
             camera, width, height, pixel.astype(jnp.uint32),
@@ -416,6 +424,7 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
             sf, si, lists, counts, params, scene.mk_sph_scalars,
             scene.mm_w, scene.mk_tri_table, scene.mk_sph_table,
             n_sph, int(cfg.rr_start), float(T_MIN), interpret,
+            adaptive_offset=cfg.adaptive_offset,
         )
 
         bounce_next = si2[:, MK.I_BOUNCE] + 1
@@ -424,7 +433,7 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
 
         light = sf2[:, 6:9]
         flushed = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
-        fb = st["fb"].at[si2[:, MK.I_PIXEL]].add(
+        fb = st["fb"].at[si2[:, MK.I_PIXEL] - pixel_offset].add(
             jnp.where(term[:, None], flushed, 0.0)
         )
 
@@ -446,7 +455,9 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
 
 def trace_wavefront(scene, camera, width, height, spp, seed,
                     cfg: RenderConfig = DEFAULT_CONFIG,
-                    pool_size: int | None = None):
+                    pool_size: int | None = None,
+                    pixel_offset: int = 0,
+                    n_pixels: int | None = None):
     """Persistent-wavefront path tracing with lane regeneration.
 
     The scan integrator (`trace`) keeps one lane per pixel-sample and wastes
@@ -463,16 +474,21 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     the lane, so the estimate equals `trace` exactly up to framebuffer
     addition order.
 
-    Returns (rgb_sum (H*W, 3), rays_traced) — divide by spp for the image.
+    `pixel_offset`/`n_pixels` restrict the work queue to a contiguous pixel
+    range (tile sharding): pixel ids stay GLOBAL (RNG/raygen invariance)
+    while the returned framebuffer covers only the local range.
+
+    Returns (rgb_sum (n_pixels, 3), rays_traced) — divide by spp.
     """
     if _mk_applicable(scene, cfg):
         return trace_wavefront_packed(
-            scene, camera, width, height, spp, seed, cfg, pool_size
+            scene, camera, width, height, spp, seed, cfg, pool_size,
+            pixel_offset=pixel_offset, n_pixels=n_pixels,
         )
 
     from metalpathtracer_tpu.render.pipeline import generate_rays
 
-    n_pix = width * height
+    n_pix = n_pixels if n_pixels is not None else width * height
     total = n_pix * spp
     if total > (1 << 31):
         raise ValueError(
@@ -484,7 +500,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     pool = int(pool_size)
 
     def items_to_rays(item):
-        pixel = (item % jnp.uint32(n_pix)).astype(jnp.uint32)
+        pixel = (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
         sample = (item // jnp.uint32(n_pix)).astype(jnp.uint32)
         o, d = generate_rays(camera, width, height, pixel, sample, seed)
         return pixel, sample, o, d
@@ -532,7 +548,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
 
         # flush terminated paths into the framebuffer
         flushed = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
-        fb = st["fb"].at[st["pixel"]].add(
+        fb = st["fb"].at[st["pixel"] - jnp.uint32(pixel_offset)].add(
             jnp.where(term[:, None], flushed, 0.0)
         )
 

@@ -40,10 +40,11 @@ def ray_sphere(o, d, center, radius, t_min=T_MIN, t_max=None, both_roots=True):
     time — silently re-absorbing scattered rays and losing direct light
     (found via a 3-5%% NEE-vs-naive bias). Spurious far roots are bounded by
     t_far ~ eps*r/cos(theta), while genuine interior chords are at least
-    ~2*sqrt(2*r*depth), so the far root is accepted only when c < 0 AND
-    t_far exceeds a radius-scaled floor — valid for any sphere size
-    (dielectric transmission offsets of 1e-4 give chords >= 0.028*sqrt(r)).
-    Returns t (inf on miss).
+    ~2*sqrt(2*r*depth), so the far root must exceed a radius-scaled floor.
+    No sign test on c: it is noise-level exactly at surfaces, and gating on
+    it made rays with a sub-t_min near root TUNNEL through contact geometry
+    (sphere resting on ground). Only sub-3.3e-3-cosine grazers can still
+    alias, ~0.2%% of cosine-weighted scatters. Returns t (inf on miss).
     """
     oc = o - center
     a = vm.dot(d, d)
@@ -57,7 +58,7 @@ def ray_sphere(o, d, center, radius, t_min=T_MIN, t_max=None, both_roots=True):
     valid = disc > 0.0
     far_floor = jnp.maximum(t_min, 3.0e-5 * radius)  # >> eps*r spurious roots
     ok_near = valid & (t_near > t_min)
-    ok_far = valid & (c < 0.0) & (t_far > far_floor)
+    ok_far = valid & (t_far > far_floor)
     if t_max is not None:
         ok_near &= t_near < t_max
         ok_far &= t_far < t_max

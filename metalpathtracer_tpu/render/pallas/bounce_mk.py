@@ -153,7 +153,8 @@ _P_LOBE, _P_FRESNEL, _P_RR = 1, 2, 3
 def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
                    sf_ref, si_ref, w_ref, tri_tbl_ref, sph_tbl_ref,
                    sf_out, si_out,
-                   *, n_sph: int, rr_start: int, t_min: float):
+                   *, n_sph: int, rr_start: int, t_min: float,
+                   adaptive_offset: bool):
     cell = pl.program_id(0)
     sf = sf_ref[:]  # (B, 16)
     si = si_ref[:]  # (B, 8)
@@ -236,7 +237,7 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
         # far root only past a radius-scaled floor (see intersect.ray_sphere)
         far_floor = jnp.maximum(t_min, 3.0e-5 * r)
         ts = jnp.where(valid & (tn > t_min), tn,
-                       jnp.where(valid & (cq < 0.0) & (tf > far_floor), tf, _INF))
+                       jnp.where(valid & (tf > far_floor), tf, _INF))
         better = ts < best_t
         return (jnp.where(better, ts, best_t),
                 jnp.where(better, s, best_slot))
@@ -405,11 +406,12 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
     ndy = jnp.where(is_dielectric, diy, jnp.where(is_mirror, my, lamy))
     ndz = jnp.where(is_dielectric, diz, jnp.where(is_mirror, mz, lamz))
     transmitted = is_dielectric & ~choose_reflect
-    # adaptive offset: scaled by coordinate magnitude (see integrator)
-    oscale = jnp.maximum(
-        1.0, jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz)))
-    )
-    off = jnp.where(transmitted, -1e-4, 1e-4) * oscale
+    off = jnp.where(transmitted, -1e-4, 1e-4)
+    if adaptive_offset:
+        # scaled by coordinate magnitude (see integrator.RenderConfig)
+        off = off * jnp.maximum(
+            1.0, jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz)))
+        )
 
     nox = px + off * nx
     noy = py + off * ny
@@ -459,17 +461,21 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_sph", "rr_start", "t_min", "interpret")
+    jax.jit,
+    static_argnames=("n_sph", "rr_start", "t_min", "interpret",
+                     "adaptive_offset"),
 )
 def bounce_megakernel(sf, si, lists, counts, params, sph_sc, w_all,
                       tri_tbl, sph_tbl, n_sph: int, rr_start: int,
-                      t_min: float, interpret: bool):
+                      t_min: float, interpret: bool,
+                      adaptive_offset: bool = True):
     """One fused bounce over the padded wavefront. All arrays pre-padded to
     BLOCK_R multiples. Returns (sf_new, si_new)."""
     n = sf.shape[0]
     grid = (n // MK_BLOCK_R,)
     kernel = functools.partial(
-        _bounce_kernel, n_sph=n_sph, rr_start=rr_start, t_min=t_min
+        _bounce_kernel, n_sph=n_sph, rr_start=rr_start, t_min=t_min,
+        adaptive_offset=adaptive_offset,
     )
     p4 = w_all.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
