@@ -340,15 +340,24 @@ def _cull_tile_lists_od(o, d, active, tile_box, t_min, block_r: int = BLOCK_R):
     ~1.7us/iteration of in-kernel scalar cull loop."""
     n = o.shape[0]
     nb = n // block_r
+    nt = tile_box.shape[0]
     inv = 1.0 / d
-    lo = tile_box[None, :, 0:3]
-    hi = tile_box[None, :, 4:7]
-    t0 = (lo - o[:, None, :]) * inv[:, None, :]
-    t1 = (hi - o[:, None, :]) * inv[:, None, :]
-    enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)
-    exit_ = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit = (exit_ > enter) & (active > 0.5)  # (N, nt)
-    blk = hit.reshape(nb, block_r, -1).any(axis=1)  # (nb, nt)
+    # (nt, N) layout — rays on the 128-lane axis. The transposed (N, nt, 3)
+    # formulation puts size-3/size-nt dims on lanes and measured 820 us/call
+    # at 4096 rays (20x the kernel it feeds); this layout is ~trivial.
+    enter = jnp.full((nt, n), t_min, jnp.float32)
+    exit_ = jnp.full((nt, n), float("inf"), jnp.float32)
+    for a in range(3):  # static 3-axis unroll
+        lo = tile_box[:, a][:, None]
+        hi = tile_box[:, 4 + a][:, None]
+        oa = o[:, a][None, :]
+        ia = inv[:, a][None, :]
+        t0 = (lo - oa) * ia
+        t1 = (hi - oa) * ia
+        enter = jnp.maximum(enter, jnp.minimum(t0, t1))
+        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+    hit = (exit_ > enter) & (active.reshape(1, n) > 0.5)  # (nt, N)
+    blk = hit.reshape(nt, nb, block_r).any(axis=2).T  # (nb, nt)
     counts = blk.sum(axis=1).astype(jnp.int32)
     lists = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int32)
     return lists, counts
@@ -372,42 +381,40 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
     if stream:
         kernel = functools.partial(_mm_kernel_stream, t_min=t_min)
         w_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
-        extra_scratch = [
+        scratch = [
+            pltpu.VMEM((BLOCK_R // 128, 128), jnp.float32),
+            pltpu.VMEM((BLOCK_R // 128, 128), jnp.int32),
             pltpu.VMEM((2, NUM_FEATURES, 4 * TILE_P), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         kernel = functools.partial(_mm_kernel, t_min=t_min)
-        w_spec = pl.BlockSpec((NUM_FEATURES, p4), lambda i, *_: (0, 0),
+        w_spec = pl.BlockSpec((NUM_FEATURES, p4), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-        extra_scratch = []  # resident kernel keeps bests in fori carries
+        scratch = []  # resident kernel keeps bests in fori carries
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # lists, counts → SMEM, available pre-body
+    # lists/counts ride as plain SMEM inputs, NOT PrefetchScalarGridSpec:
+    # the prefetch wrapper measured ~800x slower for the identical kernel
+    # body on this toolchain (744 vs 0.9 us/tile-matmul — see
+    # docs/PERFORMANCE.md "scalar-prefetch pathology"). Whole-array SMEM
+    # specs give the same in-kernel indexing (lists_ref[cell, j]).
+    t, idx = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i, *_: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             w_spec,
         ],
         out_specs=(
-            pl.BlockSpec((BLOCK_R // 128, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R // 128, 128), lambda i, *_: (i, 0),
+            pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=(
-            [
-                pltpu.VMEM((BLOCK_R // 128, 128), jnp.float32),
-                pltpu.VMEM((BLOCK_R // 128, 128), jnp.int32),
-            ] + extra_scratch
-            if stream
-            else []
-        ),
-    )
-    t, idx = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
+        scratch_shapes=scratch,
         out_shape=(
             jax.ShapeDtypeStruct((n // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
