@@ -157,12 +157,40 @@ def main(argv=None) -> int:
             )
         img = np.asarray(img)
     elif args.checkpoint:
+        import hashlib
+
         import jax.numpy as jnp
 
+        # fingerprint the run: resuming with a different scene/camera/config
+        # would silently blend two renders into one accumulation (ADVICE r1)
+        with open(args.scene, "rb") as f:
+            scene_sha = hashlib.sha256(f.read()).hexdigest()[:16]
+        fingerprint = {
+            "scene_sha": scene_sha,
+            "size": f"{args.width}x{args.height}",
+            "camera": f"{args.camera_pos}|{args.camera_target}|{args.fov}",
+            "cfg": repr(cfg),
+        }
         state = init_accum(args.width, args.height)
         run_seed = args.seed
         if args.resume and os.path.exists(args.checkpoint):
-            state, run_seed, _ = load_checkpoint(args.checkpoint)
+            state, run_seed, meta = load_checkpoint(args.checkpoint)
+            mismatches = [
+                f"  {k}: checkpoint={meta[k]!s} run={v}"
+                for k, v in fingerprint.items()
+                if k in meta and str(meta[k]) != v
+            ]
+            if mismatches:
+                print(
+                    f"error: checkpoint {args.checkpoint} was written by a "
+                    "different run; refusing to blend accumulations:\n"
+                    + "\n".join(mismatches),
+                    file=sys.stderr,
+                )
+                return 2
+            if not meta:
+                print("warning: checkpoint has no fingerprint (old format); "
+                      "cannot validate it matches this run", file=sys.stderr)
             # the checkpoint's seed wins: mixing seeds across the resume
             # boundary would break the bit-identical-resume contract
             print(f"resumed at {int(state.spp)} spp (seed {run_seed})",
@@ -173,7 +201,7 @@ def main(argv=None) -> int:
                 state, scene, cam, args.width, args.height, k,
                 jnp.uint32(run_seed & 0xFFFFFFFF), cfg,
             )
-            save_checkpoint(args.checkpoint, state, run_seed)
+            save_checkpoint(args.checkpoint, state, run_seed, meta=fingerprint)
             print(f"checkpoint at {int(state.spp)}/{args.spp} spp", file=sys.stderr)
         img = np.asarray(to_image(state, clamp=False))
         rays = None

@@ -119,9 +119,10 @@ def render_image_wavefront_sharded(
     the round's fastest integrator. Each shard's regeneration queue, lane
     pool, and framebuffer scatter are chip-local; the only cross-chip
     traffic is the final framebuffer gather. Bit-identical to the
-    single-device wavefront (positional RNG, global pixel ids), and honors
-    every RenderConfig knob (megakernel, bounces_per_iter, ...) because it
-    delegates to `integrator.trace_wavefront` with a per-shard pixel range.
+    single-device wavefront (positional RNG, global pixel ids). Delegates to
+    `integrator.trace_wavefront` with a per-shard pixel range, so it honors
+    the RenderConfig knobs that path honors (megakernel, bounces_per_iter,
+    rr_start, ...); `sort_lanes` applies only on the non-megakernel route.
     """
     from metalpathtracer_tpu.core import rng as _rng
     from metalpathtracer_tpu.render.integrator import trace_wavefront

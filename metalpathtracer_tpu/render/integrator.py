@@ -61,6 +61,8 @@ class RenderConfig:
     # + RNG in one program; render/pallas/bounce_mk.py). Falls back to the
     # XLA bounce for NEE or oversized scenes. Draws identical randoms; BSDF
     # fp reassociation makes results equal within per-pixel chaos.
+    # sort_lanes is a no-op on this route (packed state is partitioned by
+    # the regen queue itself).
     megakernel: bool = False
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
@@ -171,12 +173,17 @@ def _sample_light_sphere(scene, point, u1, u2):
     return dir_out, dist, emission, inv_pdf, light, valid
 
 
-def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
+def _bounce_step(scene, o, d, light, throughput, active, prev_nee,
                  pixel_id, sample_id, bounce, seed, cfg):
     """Advance every lane one bounce (shared by the scan integrator and the
     regeneration wavefront). `bounce` may be a scalar or a per-lane (N,)
-    array; RNG draws key on it either way. Returns
-    (o, d, light, throughput, still_active, prev_spec, rays_counted)."""
+    array; RNG draws key on it either way. `prev_nee` flags lanes whose
+    PREVIOUS bounce actually cast a shadow ray at the NEE light — exactly
+    those lanes must have BSDF-found emission on that light suppressed
+    (anything broader silently darkens the render: diffuse hits where the
+    light straddles the horizon, and bounces off emissive surfaces, never
+    cast shadow rays). Returns
+    (o, d, light, throughput, still_active, prev_nee, rays_counted)."""
     rays_counted = jnp.sum(active, dtype=jnp.int32)
 
     t, idx, normal, front_face = _trace_rays(scene, o, d, cfg, active=active)
@@ -203,13 +210,11 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
             scene, point, ul1, ul2
         )
         # NEE handles exactly ONE light (the brightest emissive sphere), so
-        # BSDF-found emission is suppressed only for hits on THAT light
-        # after a diffuse bounce; every other emitter (second light,
-        # emissive meshes) still contributes through the naive route —
-        # otherwise they would silently go dark.
-        count_emission = (
-            hit_live & emissive & (prev_spec | (idx != lidx) | ~lvalid)
-        )
+        # BSDF-found emission on THAT light is suppressed exactly when the
+        # previous bounce cast a shadow ray at it (prev_nee); every other
+        # path — specular bounces, diffuse hits whose shadow ray was never
+        # cast, other emitters — still contributes through the naive route.
+        count_emission = hit_live & emissive & (~prev_nee | (idx != lidx))
     else:
         count_emission = hit_live & emissive
     light = light + jnp.where(
@@ -230,6 +235,14 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
             throughput * albedo * lrad * (cos_s * inv_pdf / jnp.pi)[..., None]
         )
         light = light + jnp.where(lit[:, None], contrib, 0.0)
+        # "NEE attempted" = a light sample was DRAWN for this lane, whether
+        # or not a shadow ray was worth tracing: a below-horizon cone sample
+        # (cos_s <= 0) is a legitimate zero-valued draw, so the BSDF route
+        # must still be suppressed for it — gating on cand double-counts.
+        # Consumed at the NEXT bounce's emission gate.
+        new_nee = hit_live & is_diffuse & lvalid & ~emissive
+    else:
+        new_nee = jnp.zeros_like(prev_nee)
 
     # --- scatter (PathTracing.h:251-256, Scatter.h wired) ---
     unit_vec = rng.random_unit_vector(seed, pixel_id, sample_id, bounce)
@@ -254,12 +267,11 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_spec,
         survive = (~do_rr) | (u_rr < p)
         hit_live = hit_live & survive
 
-    is_specular = (mat_type < 0.0) | ((mat_type > 0.0) & (mat_type != 2.0))
     o = vm.where3(hit_live, new_o, o)
     d = vm.where3(hit_live, d_out, d)
     throughput = jnp.where(hit_live[:, None], new_tp, throughput)
-    prev_spec = jnp.where(hit_live, is_specular, prev_spec)
-    return o, d, light, throughput, hit_live, prev_spec, rays_counted
+    prev_nee = jnp.where(hit_live, new_nee, prev_nee)
+    return o, d, light, throughput, hit_live, prev_nee, rays_counted
 
 
 def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CONFIG):
@@ -279,10 +291,10 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
     light = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
-    # prev_spec: last bounce was specular (mirror/dielectric) — such paths
-    # must still collect BSDF-found emission under NEE (no light-sample
-    # covers a delta lobe).
-    prev_spec = jnp.ones((n,), bool)  # bounce 0 counts as "specular" (camera)
+    # prev_nee: the previous bounce cast a shadow ray at the NEE light, so
+    # BSDF-found emission on that light must be suppressed this bounce.
+    # Camera rays sampled nothing.
+    prev_nee = jnp.zeros((n,), bool)
     rays_traced = jnp.zeros((), jnp.int32)
 
     def cond(state):
@@ -290,18 +302,18 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
         return (bounce < cfg.max_depth) & jnp.any(active)
 
     def body(state):
-        bounce, o, d, light, throughput, active, prev_spec, rays_traced = state
-        o, d, light, throughput, active, prev_spec, counted = _bounce_step(
-            scene, o, d, light, throughput, active, prev_spec,
+        bounce, o, d, light, throughput, active, prev_nee, rays_traced = state
+        o, d, light, throughput, active, prev_nee, counted = _bounce_step(
+            scene, o, d, light, throughput, active, prev_nee,
             pixel_id, sample_id, bounce, seed, cfg,
         )
-        return (bounce + 1, o, d, light, throughput, active, prev_spec,
+        return (bounce + 1, o, d, light, throughput, active, prev_nee,
                 rays_traced + counted)
 
     _, _, _, light, _, _, _, rays_traced = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), o, d, light, throughput, active, prev_spec, rays_traced),
+        (jnp.int32(0), o, d, light, throughput, active, prev_nee, rays_traced),
     )
     if cfg.clamp_radiance:
         light = jnp.clip(light, 0.0, 1.0)
@@ -412,22 +424,30 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
         return jnp.any(st["si"][:, MK.I_ACTIVE] > 0)
 
     def body(st):
-        sf, si = st["sf"], st["si"]
-        alive = si[:, MK.I_ACTIVE] > 0
-        rays = st["rays"] + jnp.sum(alive, dtype=jnp.int32)
+        sf2, si2 = st["sf"], st["si"]
+        alive = si2[:, MK.I_ACTIVE] > 0
+        rays = st["rays"]
+        # >1 bounce per regeneration cycle amortizes the regen machinery,
+        # same trade as the unpacked wavefront's bounces_per_iter
+        for _ in range(max(1, cfg.bounces_per_iter)):
+            step = (si2[:, MK.I_ACTIVE] > 0) & (
+                si2[:, MK.I_BOUNCE] < cfg.max_depth
+            )
+            si2 = si2.at[:, MK.I_ACTIVE].set(step.astype(jnp.int32))
+            rays = rays + jnp.sum(step, dtype=jnp.int32)
+            lists, counts = _cull_tile_lists_od(
+                sf2[:, 0:3], sf2[:, 3:6], step.astype(jnp.float32)[:, None],
+                scene.mm_tile_box, T_MIN, block_r=MK.MK_BLOCK_R,
+            )
+            sf2, si2 = MK.bounce_megakernel(
+                sf2, si2, lists, counts, params, scene.mk_sph_scalars,
+                scene.mm_w, scene.mk_tri_table, scene.mk_sph_table,
+                n_sph, int(cfg.rr_start), float(T_MIN), interpret,
+                adaptive_offset=cfg.adaptive_offset,
+            )
+            si2 = si2.at[:, MK.I_BOUNCE].add(1)
 
-        lists, counts = _cull_tile_lists_od(
-            sf[:, 0:3], sf[:, 3:6], alive.astype(jnp.float32)[:, None],
-            scene.mm_tile_box, T_MIN, block_r=MK.MK_BLOCK_R,
-        )
-        sf2, si2 = MK.bounce_megakernel(
-            sf, si, lists, counts, params, scene.mk_sph_scalars,
-            scene.mm_w, scene.mk_tri_table, scene.mk_sph_table,
-            n_sph, int(cfg.rr_start), float(T_MIN), interpret,
-            adaptive_offset=cfg.adaptive_offset,
-        )
-
-        bounce_next = si2[:, MK.I_BOUNCE] + 1
+        bounce_next = si2[:, MK.I_BOUNCE]
         survivors = (si2[:, MK.I_ACTIVE] > 0) & (bounce_next < cfg.max_depth)
         term = alive & ~survivors
 
@@ -441,7 +461,6 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
         new_item = st["next_item"] + slot
         regen = term & (new_item < total)
 
-        si2 = si2.at[:, MK.I_BOUNCE].set(bounce_next)
         si2 = si2.at[:, MK.I_ACTIVE].set(survivors.astype(jnp.int32))
         sf3, si3 = fresh_state(jnp.where(regen, new_item, 0), sf2, si2, regen)
         next_item = jnp.minimum(
@@ -515,7 +534,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         bounce=jnp.zeros((pool,), jnp.int32),
         light=jnp.zeros((pool, 3), jnp.float32),
         tp=jnp.ones((pool, 3), jnp.float32),
-        prev_spec=jnp.ones((pool,), bool),
+        prev_nee=jnp.zeros((pool,), bool),
         alive=item0 < total,
         fb=jnp.zeros((n_pix, 3), jnp.float32),
         next_item=jnp.uint32(min(pool, total)),
@@ -531,14 +550,14 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         # (cumsum, scatter-add, raygen, ~20 masked updates) whose fixed op
         # cost dominates when the pool is small
         o, d, light, tp = st["o"], st["d"], st["light"], st["tp"]
-        prev_spec = st["prev_spec"]
+        prev_nee = st["prev_nee"]
         bounce = st["bounce"]
         still = alive
         counted = jnp.zeros((), jnp.int32)
         for k in range(max(1, cfg.bounces_per_iter)):
             step_active = still & (bounce + k < cfg.max_depth)
-            o, d, light, tp, still, prev_spec, c = _bounce_step(
-                scene, o, d, light, tp, step_active, prev_spec,
+            o, d, light, tp, still, prev_nee, c = _bounce_step(
+                scene, o, d, light, tp, step_active, prev_nee,
                 st["pixel"], st["sample"], bounce + k, seed, cfg,
             )
             counted = counted + c
@@ -565,7 +584,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         light = jnp.where(regen[:, None], 0.0, light)
         tp = jnp.where(regen[:, None], 1.0, tp)
         bounce = jnp.where(regen, 0, bounce_next)
-        prev_spec = jnp.where(regen, True, prev_spec)
+        prev_nee = jnp.where(regen, False, prev_nee)
         alive = survivors | regen
         next_item = jnp.minimum(
             st["next_item"] + jnp.sum(term, dtype=jnp.uint32), jnp.uint32(total)
@@ -598,12 +617,12 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             bounce = bounce[perm]
             light = light[perm]
             tp = tp[perm]
-            prev_spec = prev_spec[perm]
+            prev_nee = prev_nee[perm]
             alive = alive[perm]
 
         return dict(
             pixel=pixel, sample=sample, o=o, d=d, bounce=bounce, light=light,
-            tp=tp, prev_spec=prev_spec, alive=alive, fb=fb,
+            tp=tp, prev_nee=prev_nee, alive=alive, fb=fb,
             next_item=next_item, rays=st["rays"] + counted,
         )
 

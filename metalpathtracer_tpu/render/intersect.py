@@ -103,6 +103,12 @@ def ray_aabb(o, inv_d, box_lo, box_hi, t_min, t_max):
     t1 = (box_hi - o) * inv_d
     lo = jnp.minimum(t0, t1)
     hi = jnp.maximum(t0, t1)
+    # 0 * inf = NaN when a direction component is 0 and the origin lies on
+    # the box plane (inherited from the reference's intersectAABB); a NaN
+    # axis must not constrain the interval, else axis-parallel rays falsely
+    # miss. (The reference has the same latent defect — not replicated.)
+    lo = jnp.where(jnp.isnan(lo), -INF, lo)
+    hi = jnp.where(jnp.isnan(hi), INF, hi)
     enter = jnp.maximum(jnp.max(lo, axis=-1), t_min)
     exit_ = jnp.minimum(jnp.min(hi, axis=-1), t_max)
     return exit_ > enter

@@ -285,7 +285,9 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
     t_ex = f * (e2x * qx + e2y * qy + e2z * qz)
     ok_ex = (tri_cand & (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
              & (u + v <= 1.0) & (t_ex > t_min))
-    t_tri_exact = jnp.where(ok_ex, t_ex, _INF)
+    # on refine rejection keep the approximate winner's t instead of a miss
+    # (t_tri is already _INF for non-candidates) — see intersect_mm.py
+    t_tri_exact = jnp.where(ok_ex, t_ex, t_tri)
 
     tri_wins = t_tri_exact < t_sph
 

@@ -354,8 +354,13 @@ def _cull_tile_lists_od(o, d, active, tile_box, t_min, block_r: int = BLOCK_R):
         ia = inv[:, a][None, :]
         t0 = (lo - oa) * ia
         t1 = (hi - oa) * ia
-        enter = jnp.maximum(enter, jnp.minimum(t0, t1))
-        exit_ = jnp.minimum(exit_, jnp.maximum(t0, t1))
+        # 0 * inf = NaN when a direction component is 0 and the origin sits
+        # exactly on the box plane; NaN would propagate and falsely CULL the
+        # tile. Treat that axis as unconstraining (conservative).
+        a_lo = jnp.minimum(t0, t1)
+        a_hi = jnp.maximum(t0, t1)
+        enter = jnp.maximum(enter, jnp.where(jnp.isnan(a_lo), -_INF, a_lo))
+        exit_ = jnp.minimum(exit_, jnp.where(jnp.isnan(a_hi), _INF, a_hi))
     hit = (exit_ > enter) & (active.reshape(1, n) > 0.5)  # (nt, N)
     blk = hit.reshape(nt, nb, block_r).any(axis=2).T  # (nb, nt)
     counts = blk.sum(axis=1).astype(jnp.int32)
@@ -510,8 +515,15 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
         e1 = row[:, 3:6]
         e2 = row[:, 6:9]
         t_exact = _mt_exact(o, d, v0, e1, e2, t_min)
-        tri_hit = (col >= 0) & jnp.isfinite(t_t) & jnp.isfinite(t_exact)
-        t_t = jnp.where(tri_hit, t_exact, jnp.inf)
+        # If the exact re-refine rejects the kernel's approximate winner,
+        # keep the approximate t (it passed the same acceptance tests in
+        # matmul precision) rather than reporting a miss — dropping it
+        # produced rare sparkle/leak pixels near edges where the two
+        # precisions disagree (ADVICE.md r1).
+        tri_hit = (col >= 0) & jnp.isfinite(t_t)
+        t_t = jnp.where(
+            tri_hit, jnp.where(jnp.isfinite(t_exact), t_exact, t_t), jnp.inf
+        )
         i_t = jnp.where(tri_hit, i_t, -1)
         tri_n = vm.normalize(row[:, 9:12])
     else:

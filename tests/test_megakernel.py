@@ -74,3 +74,23 @@ def test_megakernel_rr():
     )
     m0, m1 = float(np.asarray(base).mean()), float(np.asarray(img).mean())
     assert abs(m0 - m1) / m0 < 0.2  # unbiased, higher variance
+
+
+def test_megakernel_bounces_per_iter_invariant():
+    # the packed wavefront must honor bounces_per_iter (it once silently
+    # ignored it, ADVICE r1) and the estimate is invariant to the setting
+    scene = upload_scene(presets.cornell_spheres())
+    base, rb = render_image_wavefront(
+        scene, CAM, 16, 16, spp=4, seed=5,
+        cfg=RenderConfig(max_depth=6, megakernel=True), pool_size=256,
+    )
+    for bpi in (2, 3):
+        img, r = render_image_wavefront(
+            scene, CAM, 16, 16, spp=4, seed=5,
+            cfg=RenderConfig(max_depth=6, megakernel=True,
+                             bounces_per_iter=bpi),
+            pool_size=256,
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(base),
+                                   rtol=1e-5, atol=1e-6)
+        assert r == rb

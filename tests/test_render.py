@@ -221,3 +221,25 @@ def test_wavefront_rejects_oversized_queue():
 
     with pytest.raises(ValueError):
         render_image_wavefront(scene, CORNELL_CAM, 65536, 65536, spp=1)
+
+
+def test_nee_unbiased_horizon_straddling_light():
+    # A half-buried emissive sphere straddles the horizon of nearby ground
+    # points: cone samples below the surface are legitimate zero-valued NEE
+    # draws, so the BSDF route must stay suppressed for them (counting both
+    # double-counts; counting neither darkens — both happened in round 1).
+    # NEE and naive are estimators of the same integral: means must agree.
+    s = HostScene()
+    s.add_sphere((0, -10000, 0), 10000.0, Material(albedo=(0.75, 0.75, 0.75)))
+    s.add_sphere((0, 0.0, -2.0), 1.5,
+                 Material(albedo=(0, 0, 0), emission_color=(1.0, 0.9, 0.8),
+                          emission_power=4.0))
+    scene = upload_scene(s)
+    cam = Camera.look_at((0, 1.5, 6.0), (0, 0.5, -2.0), vfov_deg=45.0)
+    naive, _ = render_image(scene, cam, 16, 16, spp=96, seed=11,
+                            cfg=RenderConfig(max_depth=8))
+    nee, _ = render_image(scene, cam, 16, 16, spp=96, seed=12,
+                          cfg=RenderConfig(max_depth=8, nee=True))
+    m0 = float(np.asarray(naive).mean())
+    m1 = float(np.asarray(nee).mean())
+    assert abs(m0 - m1) / m0 < 0.05, (m0, m1)
