@@ -1,0 +1,123 @@
+"""Trace one wavefront render on the TPU and print the device-time split.
+
+Captures a jax.profiler trace of the bench-config render and converts the
+xplane with xprof's hlo_stats tool, aggregating self-time by HLO op — the
+trustworthy in-situ view (docs/PERFORMANCE.md "measurement trap": standalone
+fragment timings lie; only whole-program traces attribute cost correctly).
+
+Usage: python benchmarks/profile_render.py [--megakernel] [--pool N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import io
+import json
+import os
+import sys
+import tempfile
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--megakernel", action="store_true")
+    ap.add_argument("--pool", type=int, default=12, help="log2 pool size")
+    ap.add_argument("--bpi", type=int, default=2)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--depth", type=int, default=32)
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+
+    from metalpathtracer_tpu.render import (
+        Camera,
+        render_image_wavefront,
+        upload_scene,
+    )
+    from metalpathtracer_tpu.render.integrator import RenderConfig
+    from metalpathtracer_tpu.scene import load_scene_xml
+
+    scene = upload_scene(load_scene_xml(os.path.join(repo, "scenes", "reference.xml")))
+    camera = Camera.reset()
+    cfg = RenderConfig(
+        max_depth=args.depth, bounces_per_iter=args.bpi,
+        megakernel=args.megakernel,
+    )
+    kw = dict(spp=args.spp, cfg=cfg, pool_size=1 << args.pool)
+
+    # compile outside the trace
+    img, rays = render_image_wavefront(scene, camera, 1280, 720, seed=0, **kw)
+    jax.block_until_ready(img)
+
+    logdir = tempfile.mkdtemp(prefix="mpt_prof_")
+    jax.profiler.start_trace(logdir)
+    img, rays = render_image_wavefront(scene, camera, 1280, 720, seed=1, **kw)
+    jax.block_until_ready(img)
+    jax.profiler.stop_trace()
+
+    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    if not xplanes:
+        print("no xplane produced", file=sys.stderr)
+        return 1
+
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        xplanes, "hlo_stats", {}
+    )
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+
+    # hlo_stats emits CSV rows; aggregate self-time by (program, hlo op name)
+    rows = list(csv.DictReader(io.StringIO(data)))
+    if not rows:
+        print("hlo_stats empty; raw head:", data[:500], file=sys.stderr)
+        return 1
+    tkey = None
+    for cand in ("Total self time (us)", "total_self_time_us",
+                 "Self time (us)", "self_time_us"):
+        if cand in rows[0]:
+            tkey = cand
+            break
+    nkey = "HLO op name" if "HLO op name" in rows[0] else "hlo_op_name"
+    ckey = ("HLO op category" if "HLO op category" in rows[0]
+            else "hlo_op_category")
+    if tkey is None:
+        print("columns:", list(rows[0].keys()), file=sys.stderr)
+        return 1
+
+    agg: dict[str, float] = {}
+    cat: dict[str, float] = {}
+    total = 0.0
+    for r in rows:
+        us = float(r[tkey] or 0.0)
+        agg[r[nkey]] = agg.get(r[nkey], 0.0) + us
+        cat[r.get(ckey, "?")] = cat.get(r.get(ckey, "?"), 0.0) + us
+        total += us
+
+    print(f"total device self-time: {total/1e3:.1f} ms for {int(rays)} rays "
+          f"({total*1e3/max(int(rays),1):.0f} ns/ray)")
+    print("\n-- by category --")
+    for k, v in sorted(cat.items(), key=lambda kv: -kv[1]):
+        print(f"{v/1e3:9.1f} ms  {100*v/total:5.1f}%  {k}")
+    print(f"\n-- top {args.top} ops --")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[: args.top]:
+        print(f"{v/1e3:9.1f} ms  {100*v/total:5.1f}%  {k[:110]}")
+
+    with open("/tmp/mpt_hlo_stats.json", "w") as f:
+        json.dump(dict(total_us=total, rays=int(rays), ops=agg), f)
+    print("\nfull op table -> /tmp/mpt_hlo_stats.json; trace dir:", logdir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -420,15 +420,10 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
         rays=jnp.zeros((), jnp.int32),
     )
 
-    def cond(st):
-        return jnp.any(st["si"][:, MK.I_ACTIVE] > 0)
-
-    def body(st):
-        sf2, si2 = st["sf"], st["si"]
-        alive = si2[:, MK.I_ACTIVE] > 0
-        rays = st["rays"]
-        # >1 bounce per regeneration cycle amortizes the regen machinery,
-        # same trade as the unpacked wavefront's bounces_per_iter
+    def mk_advance(sf2, si2, rays):
+        """bounces_per_iter fused bounces; sets I_ACTIVE to the survivor
+        mask (>1 bounce per regeneration cycle amortizes the regen
+        machinery, same trade as the unpacked wavefront)."""
         for _ in range(max(1, cfg.bounces_per_iter)):
             step = (si2[:, MK.I_ACTIVE] > 0) & (
                 si2[:, MK.I_BOUNCE] < cfg.max_depth
@@ -446,9 +441,21 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
                 adaptive_offset=cfg.adaptive_offset,
             )
             si2 = si2.at[:, MK.I_BOUNCE].add(1)
+        survivors = (si2[:, MK.I_ACTIVE] > 0) & (
+            si2[:, MK.I_BOUNCE] < cfg.max_depth
+        )
+        si2 = si2.at[:, MK.I_ACTIVE].set(survivors.astype(jnp.int32))
+        return sf2, si2, rays
 
-        bounce_next = si2[:, MK.I_BOUNCE]
-        survivors = (si2[:, MK.I_ACTIVE] > 0) & (bounce_next < cfg.max_depth)
+    def cond(st):
+        # feed phase only — the drain below handles the queue-empty tail
+        return st["next_item"] < jnp.uint32(total)
+
+    def body(st):
+        sf2, si2 = st["sf"], st["si"]
+        alive = si2[:, MK.I_ACTIVE] > 0
+        sf2, si2, rays = mk_advance(sf2, si2, st["rays"])
+        survivors = si2[:, MK.I_ACTIVE] > 0
         term = alive & ~survivors
 
         light = sf2[:, 6:9]
@@ -461,15 +468,57 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
         new_item = st["next_item"] + slot
         regen = term & (new_item < total)
 
-        si2 = si2.at[:, MK.I_ACTIVE].set(survivors.astype(jnp.int32))
         sf3, si3 = fresh_state(jnp.where(regen, new_item, 0), sf2, si2, regen)
         next_item = jnp.minimum(
             st["next_item"] + jnp.sum(term, dtype=jnp.uint32), jnp.uint32(total)
         )
         return dict(sf=sf3, si=si3, fb=fb, next_item=next_item, rays=rays)
 
-    final = jax.lax.while_loop(cond, body, state)
-    return final["fb"], final["rays"]
+    state = jax.lax.while_loop(cond, body, state)
+
+    # ---- drain phase: queue exhausted; halve the pool stage by stage ----
+    # (mirrors trace_wavefront's drain; see the comment there)
+    fb = state["fb"]
+    sf, si, rays = state["sf"], state["si"], state["rays"]
+    dead0 = si[:, MK.I_ACTIVE] == 0
+    sf = sf.at[:, 6:9].set(jnp.where(dead0[:, None], 0.0, sf[:, 6:9]))
+
+    def drain_stage(carry, stop_below: int):
+        def dcond(c):
+            return jnp.sum(c[1][:, MK.I_ACTIVE], dtype=jnp.int32) > stop_below
+
+        def dbody(c):
+            return mk_advance(*c)
+
+        return jax.lax.while_loop(dcond, dbody, carry)
+
+    def flush(fb, sf, si):
+        dead = si[:, MK.I_ACTIVE] == 0
+        light = sf[:, 6:9]
+        add = jnp.where(dead[:, None], light, 0.0)
+        if cfg.clamp_radiance:
+            add = jnp.clip(add, 0.0, 1.0)
+        fb = fb.at[si[:, MK.I_PIXEL] - pixel_offset].add(add)
+        sf = sf.at[:, 6:9].set(jnp.where(dead[:, None], 0.0, light))
+        return fb, sf
+
+    width_now = pool
+    min_w = min(pool, max(MK.MK_BLOCK_R, 512))
+    while width_now > min_w:
+        half = max(
+            -(-(width_now // 2) // MK.MK_BLOCK_R) * MK.MK_BLOCK_R, min_w
+        )
+        if half >= width_now:
+            break
+        sf, si, rays = drain_stage((sf, si, rays), half)
+        fb, sf = flush(fb, sf, si)
+        live_first = jnp.argsort(si[:, MK.I_ACTIVE] == 0)  # stable
+        sf = sf[live_first][:half]
+        si = si[live_first][:half]
+        width_now = half
+    sf, si, rays = drain_stage((sf, si, rays), 0)
+    fb, _ = flush(fb, sf, si)
+    return fb, rays
 
 
 def trace_wavefront(scene, camera, width, height, spp, seed,
@@ -542,7 +591,12 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     )
 
     def cond(st):
-        return jnp.any(st["alive"])
+        # feed phase only: once the work queue is exhausted the drain phase
+        # below takes over with a shrinking pool (a terminated lane can no
+        # longer be refilled, so full-pool passes for a few stragglers are
+        # pure waste — the 2^14 -> 2^20 collapse in docs/PERFORMANCE.md's
+        # pool table was exactly this tail)
+        return st["next_item"] < jnp.uint32(total)
 
     def body(st):
         alive = st["alive"]
@@ -626,5 +680,71 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             next_item=next_item, rays=st["rays"] + counted,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
-    return final["fb"], final["rays"]
+    state = jax.lax.while_loop(cond, body, state)
+
+    # ---- drain phase: queue exhausted; halve the pool stage by stage ----
+    fb = state["fb"]
+    drain = dict(
+        pixel=state["pixel"], sample=state["sample"], o=state["o"],
+        d=state["d"], bounce=state["bounce"], light=state["light"],
+        tp=state["tp"], prev_nee=state["prev_nee"], alive=state["alive"],
+        rays=state["rays"],
+    )
+    # phase-1 already flushed its terminated lanes; zero their light so the
+    # stage flushes below stay idempotent
+    drain["light"] = jnp.where(drain["alive"][:, None], drain["light"], 0.0)
+
+    def drain_stage(st, stop_below: int):
+        """Advance bounces (no regen) until live lanes fit `stop_below`."""
+
+        def dcond(s):
+            return jnp.sum(s["alive"], dtype=jnp.int32) > stop_below
+
+        def dbody(s):
+            o, d, light, tp = s["o"], s["d"], s["light"], s["tp"]
+            prev_nee, bounce, still = s["prev_nee"], s["bounce"], s["alive"]
+            counted = jnp.zeros((), jnp.int32)
+            for k in range(max(1, cfg.bounces_per_iter)):
+                step_active = still & (bounce + k < cfg.max_depth)
+                o, d, light, tp, still, prev_nee, c = _bounce_step(
+                    scene, o, d, light, tp, step_active, prev_nee,
+                    s["pixel"], s["sample"], bounce + k, seed, cfg,
+                )
+                counted = counted + c
+            bounce = bounce + max(1, cfg.bounces_per_iter)
+            return dict(
+                pixel=s["pixel"], sample=s["sample"], o=o, d=d, bounce=bounce,
+                light=light, tp=tp, prev_nee=prev_nee,
+                alive=still & (bounce < cfg.max_depth),
+                rays=s["rays"] + counted,
+            )
+
+        return jax.lax.while_loop(dcond, dbody, st)
+
+    def flush(fb, st):
+        """Scatter dead lanes' radiance into the framebuffer, then zero it
+        (so a lane flushed at stage k adds nothing at stage k+1)."""
+        dead = ~st["alive"]
+        add = jnp.where(dead[:, None], st["light"], 0.0)
+        if cfg.clamp_radiance:
+            add = jnp.clip(add, 0.0, 1.0)
+        fb = fb.at[st["pixel"] - jnp.uint32(pixel_offset)].add(add)
+        return fb, dict(
+            st, light=jnp.where(dead[:, None], 0.0, st["light"])
+        )
+
+    width_now = pool
+    min_w = min(pool, 1024)  # one intersection block; narrower just pads
+    while width_now > min_w:
+        half = max(width_now // 2, min_w)
+        drain = drain_stage(drain, half)
+        fb, drain = flush(fb, drain)
+        live_first = jnp.argsort(~drain["alive"])  # stable: live lanes first
+        drain = {
+            k: (v if v.ndim == 0 else v[live_first][:half])
+            for k, v in drain.items()
+        }
+        width_now = half
+    drain = drain_stage(drain, 0)
+    fb, drain = flush(fb, drain)
+    return fb, drain["rays"]

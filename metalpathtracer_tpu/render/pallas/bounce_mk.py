@@ -30,6 +30,7 @@ NEE is not fused (cfg.nee falls back to the XLA bounce).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,9 +48,14 @@ from metalpathtracer_tpu.render.pallas.intersect_mm import (
 
 T_MIN = 1e-4
 _INF = float("inf")
-# smaller blocks than the intersect-only kernel: the fused program carries
-# state+tables+tile temps together and must fit the 16MB VMEM scoped stack
-MK_BLOCK_R = 256
+# Round 1 capped blocks at 256 lanes to fit Mosaic's default 16 MB scoped
+# VMEM; with the cap raised toward the chip's physical 128 MiB
+# (VMEM_LIMIT_BYTES below) the fused program affords MXU-width blocks, and
+# (256,)-vector issue overhead stops dominating the ~200-op shading tail.
+MK_BLOCK_R = int(os.environ.get("MPT_MK_BLOCK_R", "1024"))
+MK_VMEM_LIMIT_BYTES = (
+    int(os.environ.get("MPT_MK_VMEM_LIMIT_MB", "100")) * (1 << 20)
+)
 
 # float-state columns
 F_OX, F_OY, F_OZ = 0, 1, 2
@@ -508,6 +514,9 @@ def bounce_megakernel(sf, si, lists, counts, params, sph_sc, w_all,
         out_shape=(
             jax.ShapeDtypeStruct((n, STATE_F_COLS), jnp.float32),
             jax.ShapeDtypeStruct((n, STATE_I_COLS), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=MK_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(lists, counts, params, sph_sc, sf, si, w_all, tri_tbl, sph_tbl)

@@ -37,6 +37,7 @@ merge at the end.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +50,14 @@ from metalpathtracer_tpu.scene.types import PRIM_SPHERE, PRIM_TRIANGLE
 T_MIN = 1e-4
 TRI_PARALLEL_EPS = 1e-5
 NUM_FEATURES = 12
-BLOCK_R = 1024  # rays per grid cell
-TILE_P = 512  # triangles per inner tile (bigger tiles amortize the ~1.7us
-              # per-loop-iteration overhead measured on v5e)
+# rays per grid cell / triangles per inner tile (bigger tiles amortize the
+# ~1.7us per-loop-iteration overhead measured on v5e). Env overrides exist
+# for perf sweeps only — production uses the defaults.
+BLOCK_R = int(os.environ.get("MPT_BLOCK_R", "1024"))
+TILE_P = int(os.environ.get("MPT_TILE_P", "512"))
+# Mosaic's default scoped-VMEM budget is 16 MB, but a v5e core has 128 MiB
+# of physical VMEM; raising the cap lets the det tile use wide ray blocks.
+VMEM_LIMIT_BYTES = int(os.environ.get("MPT_VMEM_LIMIT_MB", "100")) * (1 << 20)
 
 _INF = float("inf")  # plain float: jnp scalars become captured consts in kernels
 
@@ -423,6 +429,9 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
         out_shape=(
             jax.ShapeDtypeStruct((n // 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(lists, counts, x, w_all)
