@@ -1,4 +1,6 @@
 from metalpathtracer_tpu.parallel.sharding import (
+    accumulate_sharded,
+    init_accum_sharded,
     make_mesh,
     make_mesh_2d,
     render_image_sample_sharded,
@@ -8,6 +10,8 @@ from metalpathtracer_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "accumulate_sharded",
+    "init_accum_sharded",
     "make_mesh",
     "make_mesh_2d",
     "render_image_sharded",

@@ -15,9 +15,16 @@ bounce), never on lane position (`core/rng.py`) — both shardings produce
 BIT-IDENTICAL images to a single device (tested in tests/test_sharding.py),
 and the two axes compose into a 2-D mesh ("tiles", "samples").
 
+All sharded entry points jit ONCE per (mesh, shape, config): the compiled
+executables live in `functools.lru_cache`d builders keyed on the static
+parameters, with seed / accumulation state as traced arguments — so
+progressive and interactive multi-chip use pays compilation exactly once.
+
 Scene arrays are a few MB and are replicated per chip; rays never cross
 chips. This is the BASELINE config-5 design (1080p tile-sharded progressive
-accumulation on v5e-8).
+accumulation on v5e-8), including checkpointable progressive accumulation
+via `init_accum_sharded` / `accumulate_sharded` (the multi-chip analog of
+the reference's ping-pong textures, `Renderer.cpp:228-241,269-310`).
 """
 
 from __future__ import annotations
@@ -26,11 +33,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from metalpathtracer_tpu.core import rng
-from metalpathtracer_tpu.render.integrator import DEFAULT_CONFIG
-from metalpathtracer_tpu.render.pipeline import render_tile
+from metalpathtracer_tpu.render.integrator import (
+    DEFAULT_CONFIG,
+    trace_wavefront,
+)
+from metalpathtracer_tpu.render.pipeline import AccumState, render_tile
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "tiles") -> Mesh:
@@ -58,6 +68,37 @@ def _check_divisible(height: int, n: int) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# cached one-shot renders (jit once per (mesh, shape, spp, cfg))
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _tile_render_fn(mesh: Mesh, width: int, height: int, spp: int, cfg):
+    n = mesh.devices.size
+    rows_per = height // n
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("tiles"), P()),
+        check_vma=False,  # while_loop carries start as unvarying constants
+    )
+    def shard_fn(scene, camera, seed):
+        i = jax.lax.axis_index("tiles")
+        first = i.astype(jnp.uint32) * jnp.uint32(rows_per * width)
+        pixel_id = first + jnp.arange(rows_per * width, dtype=jnp.uint32)
+        sample_ids = jnp.arange(spp, dtype=jnp.uint32)
+        rgb_sum, rays = render_tile(
+            scene, camera, width, height, pixel_id, sample_ids, seed, cfg
+        )
+        rays = jax.lax.psum(rays, "tiles")
+        return rgb_sum.reshape(rows_per, width, 3), rays
+
+    return jax.jit(shard_fn)
+
+
 def render_image_sharded(
     scene,
     camera,
@@ -75,32 +116,37 @@ def render_image_sharded(
     """
     if mesh is None:
         mesh = make_mesh()
+    _check_divisible(height, mesh.devices.size)
+    fn = _tile_render_fn(mesh, width, height, spp, cfg)
+    rgb_sum, rays = fn(scene, camera, rng.seed_from_int(seed))
+    return rgb_sum / spp, int(rays)
+
+
+@functools.lru_cache(maxsize=None)
+def _wavefront_render_fn(
+    mesh: Mesh, width: int, height: int, spp: int, cfg, pool_size
+):
     n = mesh.devices.size
-    _check_divisible(height, n)
     rows_per = height // n
+    n_local = rows_per * width
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P()),
         out_specs=(P("tiles"), P()),
-        check_vma=False,  # while_loop carries start as unvarying constants
+        check_vma=False,
     )
-    def shard_fn(scene, camera):
+    def shard_fn(scene, camera, seed):
         i = jax.lax.axis_index("tiles")
-        first = i.astype(jnp.uint32) * jnp.uint32(rows_per * width)
-        pixel_id = first + jnp.arange(rows_per * width, dtype=jnp.uint32)
-        sample_ids = jnp.arange(spp, dtype=jnp.uint32)
-        rgb_sum, rays = render_tile(
-            scene, camera, width, height, pixel_id, sample_ids,
-            rng.seed_from_int(seed), cfg,
+        fb, rays = trace_wavefront(
+            scene, camera, width, height, spp, seed, cfg, pool_size,
+            pixel_offset=i.astype(jnp.uint32) * jnp.uint32(n_local),
+            n_pixels=n_local,
         )
-        rays = jax.lax.psum(rays, "tiles")
-        return rgb_sum.reshape(rows_per, width, 3), rays
+        return fb.reshape(rows_per, width, 3), jax.lax.psum(rays, "tiles")
 
-    with mesh:
-        rgb_sum, rays = jax.jit(shard_fn)(scene, camera)
-    return rgb_sum / spp, int(rays)
+    return jax.jit(shard_fn)
 
 
 def render_image_wavefront_sharded(
@@ -124,38 +170,42 @@ def render_image_wavefront_sharded(
     the RenderConfig knobs that path honors (megakernel, bounces_per_iter,
     rr_start, ...); `sort_lanes` applies only on the non-megakernel route.
     """
-    from metalpathtracer_tpu.core import rng as _rng
-    from metalpathtracer_tpu.render.integrator import trace_wavefront
-
     if spp <= 0:
         raise ValueError(f"spp must be positive, got {spp}")
     if mesh is None:
         mesh = make_mesh()
+    _check_divisible(height, mesh.devices.size)
+    fn = _wavefront_render_fn(mesh, width, height, spp, cfg, pool_size)
+    rgb_sum, rays = fn(scene, camera, rng.seed_from_int(seed))
+    return rgb_sum / spp, int(rays)
+
+
+@functools.lru_cache(maxsize=None)
+def _sample_render_fn(mesh: Mesh, width: int, height: int, spp: int, cfg):
     n = mesh.devices.size
-    _check_divisible(height, n)
-    rows_per = height // n
-    n_local = rows_per * width
+    spp_per = spp // n
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P("tiles"), P()),
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
         check_vma=False,
     )
-    def shard_fn(scene, camera):
-        i = jax.lax.axis_index("tiles")
-        fb, rays = trace_wavefront(
-            scene, camera, width, height, spp, _rng.seed_from_int(seed),
-            cfg, pool_size,
-            pixel_offset=i.astype(jnp.uint32) * jnp.uint32(n_local),
-            n_pixels=n_local,
+    def shard_fn(scene, camera, seed):
+        i = jax.lax.axis_index("samples")
+        pixel_id = jnp.arange(width * height, dtype=jnp.uint32)
+        sample_ids = i.astype(jnp.uint32) * jnp.uint32(spp_per) + jnp.arange(
+            spp_per, dtype=jnp.uint32
         )
-        return fb.reshape(rows_per, width, 3), jax.lax.psum(rays, "tiles")
+        rgb_sum, rays = render_tile(
+            scene, camera, width, height, pixel_id, sample_ids, seed, cfg
+        )
+        rgb_sum = jax.lax.psum(rgb_sum, "samples")
+        rays = jax.lax.psum(rays, "samples")
+        return rgb_sum.reshape(height, width, 3), rays
 
-    with mesh:
-        rgb_sum, rays = jax.jit(shard_fn)(scene, camera)
-    return rgb_sum / spp, int(rays)
+    return jax.jit(shard_fn)
 
 
 def render_image_sample_sharded(
@@ -175,32 +225,41 @@ def render_image_sample_sharded(
     n = mesh.devices.size
     if spp % n != 0:
         raise ValueError(f"spp {spp} must divide evenly across {n} shards")
-    spp_per = spp // n
+    fn = _sample_render_fn(mesh, width, height, spp, cfg)
+    rgb_sum, rays = fn(scene, camera, rng.seed_from_int(seed))
+    return rgb_sum / spp, int(rays)
+
+
+@functools.lru_cache(maxsize=None)
+def _render_2d_fn(mesh: Mesh, width: int, height: int, spp: int, cfg):
+    nt = mesh.shape["tiles"]
+    ns = mesh.shape["samples"]
+    rows_per = height // nt
+    spp_per = spp // ns
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P()),
+        out_specs=(P("tiles"), P()),
         check_vma=False,
     )
-    def shard_fn(scene, camera):
-        i = jax.lax.axis_index("samples")
-        pixel_id = jnp.arange(width * height, dtype=jnp.uint32)
-        sample_ids = i.astype(jnp.uint32) * jnp.uint32(spp_per) + jnp.arange(
+    def shard_fn(scene, camera, seed):
+        ti = jax.lax.axis_index("tiles")
+        si = jax.lax.axis_index("samples")
+        first = ti.astype(jnp.uint32) * jnp.uint32(rows_per * width)
+        pixel_id = first + jnp.arange(rows_per * width, dtype=jnp.uint32)
+        sample_ids = si.astype(jnp.uint32) * jnp.uint32(spp_per) + jnp.arange(
             spp_per, dtype=jnp.uint32
         )
         rgb_sum, rays = render_tile(
-            scene, camera, width, height, pixel_id, sample_ids,
-            rng.seed_from_int(seed), cfg,
+            scene, camera, width, height, pixel_id, sample_ids, seed, cfg
         )
         rgb_sum = jax.lax.psum(rgb_sum, "samples")
-        rays = jax.lax.psum(rays, "samples")
-        return rgb_sum.reshape(height, width, 3), rays
+        rays = jax.lax.psum(rays, ("tiles", "samples"))
+        return rgb_sum.reshape(rows_per, width, 3), rays
 
-    with mesh:
-        rgb_sum, rays = jax.jit(shard_fn)(scene, camera)
-    return rgb_sum / spp, int(rays)
+    return jax.jit(shard_fn)
 
 
 def render_image_sharded_2d(
@@ -223,32 +282,92 @@ def render_image_sharded_2d(
     _check_divisible(height, nt)
     if spp % ns != 0:
         raise ValueError(f"spp {spp} must divide across {ns} sample shards")
-    rows_per = height // nt
-    spp_per = spp // ns
+    fn = _render_2d_fn(mesh, width, height, spp, cfg)
+    rgb_sum, rays = fn(scene, camera, rng.seed_from_int(seed))
+    return rgb_sum / spp, int(rays)
+
+
+# ---------------------------------------------------------------------------
+# progressive tile-sharded accumulation (BASELINE config 5's "progressive")
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _accum_sharded_fn(
+    mesh: Mesh, width: int, height: int, n_samples: int, cfg, pool_size
+):
+    n = mesh.devices.size
+    rows_per = height // n
+    n_local = rows_per * width
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P("tiles"), P(), P(), P(), P()),
         out_specs=(P("tiles"), P()),
         check_vma=False,
     )
-    def shard_fn(scene, camera):
-        ti = jax.lax.axis_index("tiles")
-        si = jax.lax.axis_index("samples")
-        first = ti.astype(jnp.uint32) * jnp.uint32(rows_per * width)
-        pixel_id = first + jnp.arange(rows_per * width, dtype=jnp.uint32)
-        sample_ids = si.astype(jnp.uint32) * jnp.uint32(spp_per) + jnp.arange(
-            spp_per, dtype=jnp.uint32
+    def shard_fn(rgb_local, scene, camera, seed, spp0):
+        i = jax.lax.axis_index("tiles")
+        fb, rays = trace_wavefront(
+            scene, camera, width, height, n_samples, seed, cfg, pool_size,
+            pixel_offset=i.astype(jnp.uint32) * jnp.uint32(n_local),
+            n_pixels=n_local,
+            sample_offset=spp0,
         )
-        rgb_sum, rays = render_tile(
-            scene, camera, width, height, pixel_id, sample_ids,
-            rng.seed_from_int(seed), cfg,
+        return (
+            rgb_local + fb.reshape(rows_per, width, 3),
+            jax.lax.psum(rays, "tiles"),
         )
-        rgb_sum = jax.lax.psum(rgb_sum, "samples")
-        rays = jax.lax.psum(rays, ("tiles", "samples"))
-        return rgb_sum.reshape(rows_per, width, 3), rays
 
-    with mesh:
-        rgb_sum, rays = jax.jit(shard_fn)(scene, camera)
-    return rgb_sum / spp, int(rays)
+    return jax.jit(shard_fn, donate_argnums=(0,))
+
+
+def init_accum_sharded(width: int, height: int, mesh: Mesh) -> AccumState:
+    """Row-sharded progressive accumulation state (`AccumState` whose
+    rgb_sum lives tile-sharded across the mesh)."""
+    _check_divisible(height, mesh.devices.size)
+    sharding = NamedSharding(mesh, P("tiles"))
+    return AccumState(
+        rgb_sum=jax.device_put(
+            jnp.zeros((height, width, 3), jnp.float32), sharding
+        ),
+        spp=jnp.zeros((), jnp.int32),
+    )
+
+
+def accumulate_sharded(
+    state: AccumState,
+    scene,
+    camera,
+    n_samples: int,
+    seed: int = 0,
+    cfg=DEFAULT_CONFIG,
+    mesh: Mesh | None = None,
+    pool_size: int | None = None,
+) -> tuple[AccumState, int]:
+    """Add `n_samples` per pixel to a tile-sharded progressive accumulation.
+
+    The multi-chip `pipeline.accumulate`: each chip traces its row block
+    with the wavefront integrator (sample ids continue at `state.spp`, so
+    the estimate is bit-identical to an unsharded render of the same total
+    spp), and the sharded rgb_sum buffer is donated — no host round-trip,
+    no per-step re-jit. Checkpoint by gathering `np.asarray(state.rgb_sum)`
+    (io.checkpoint works unchanged); resume by `jax.device_put` back onto
+    the mesh. Returns (new_state, rays_traced_this_step).
+    """
+    if n_samples <= 0:
+        raise ValueError(f"n_samples must be positive, got {n_samples}")
+    if mesh is None:
+        mesh = make_mesh()
+    height, width = state.rgb_sum.shape[:2]
+    _check_divisible(height, mesh.devices.size)
+    fn = _accum_sharded_fn(mesh, width, height, int(n_samples), cfg, pool_size)
+    rgb_sum, rays = fn(
+        state.rgb_sum,
+        scene,
+        camera,
+        rng.seed_from_int(seed),
+        state.spp.astype(jnp.uint32),
+    )
+    return AccumState(rgb_sum=rgb_sum, spp=state.spp + n_samples), int(rays)

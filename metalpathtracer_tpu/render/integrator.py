@@ -337,7 +337,8 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
                            cfg: RenderConfig = DEFAULT_CONFIG,
                            pool_size: int | None = None,
                            pixel_offset: int = 0,
-                           n_pixels: int | None = None):
+                           n_pixels: int | None = None,
+                           sample_offset=0):
     """Megakernel wavefront with PACKED state carry.
 
     Same algorithm as `trace_wavefront`, but the while-loop carries the
@@ -374,7 +375,9 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
         pixel = (
             (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
         ).astype(jnp.int32)
-        sample = (item // jnp.uint32(n_pix)).astype(jnp.int32)
+        sample = (
+            item // jnp.uint32(n_pix) + jnp.asarray(sample_offset, jnp.uint32)
+        ).astype(jnp.int32)
         o, d = generate_rays(
             camera, width, height, pixel.astype(jnp.uint32),
             sample.astype(jnp.uint32), seed_u,
@@ -525,7 +528,8 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                     cfg: RenderConfig = DEFAULT_CONFIG,
                     pool_size: int | None = None,
                     pixel_offset: int = 0,
-                    n_pixels: int | None = None):
+                    n_pixels: int | None = None,
+                    sample_offset=0):
     """Persistent-wavefront path tracing with lane regeneration.
 
     The scan integrator (`trace`) keeps one lane per pixel-sample and wastes
@@ -552,6 +556,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         return trace_wavefront_packed(
             scene, camera, width, height, spp, seed, cfg, pool_size,
             pixel_offset=pixel_offset, n_pixels=n_pixels,
+            sample_offset=sample_offset,
         )
 
     from metalpathtracer_tpu.render.pipeline import generate_rays
@@ -569,7 +574,9 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
 
     def items_to_rays(item):
         pixel = (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
-        sample = (item // jnp.uint32(n_pix)).astype(jnp.uint32)
+        sample = item // jnp.uint32(n_pix) + jnp.asarray(
+            sample_offset, jnp.uint32
+        )
         o, d = generate_rays(camera, width, height, pixel, sample, seed)
         return pixel, sample, o, d
 
