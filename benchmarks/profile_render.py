@@ -11,9 +11,7 @@ Usage: python benchmarks/profile_render.py [--megakernel] [--pool N] ...
 from __future__ import annotations
 
 import argparse
-import csv
 import glob
-import io
 import json
 import os
 import sys
@@ -77,31 +75,36 @@ def main() -> int:
     if isinstance(data, bytes):
         data = data.decode("utf-8", "replace")
 
-    # hlo_stats emits CSV rows; aggregate self-time by (program, hlo op name)
-    rows = list(csv.DictReader(io.StringIO(data)))
-    if not rows:
-        print("hlo_stats empty; raw head:", data[:500], file=sys.stderr)
-        return 1
-    tkey = None
-    for cand in ("Total self time (us)", "total_self_time_us",
-                 "Self time (us)", "self_time_us"):
-        if cand in rows[0]:
-            tkey = cand
-            break
-    nkey = "HLO op name" if "HLO op name" in rows[0] else "hlo_op_name"
-    ckey = ("HLO op category" if "HLO op category" in rows[0]
-            else "hlo_op_category")
-    if tkey is None:
-        print("columns:", list(rows[0].keys()), file=sys.stderr)
-        return 1
+    # hlo_stats emits a gviz DataTable JSON: {"cols": [...], "rows":
+    # [{"c": [{"v": ...}, ...]}, ...]}
+    table = json.loads(data)
+    col_ids = [c["id"] for c in table["cols"]]
+
+    def pick_col(*cands):
+        for c in cands:
+            if c in col_ids:
+                return col_ids.index(c)
+        raise KeyError(f"{cands} not in {col_ids}")
+
+    i_time = pick_col("total_self_time", "self_time", "total_time")
+    i_name = pick_col("hlo_op_name")
+    i_cat = pick_col("category")
 
     agg: dict[str, float] = {}
     cat: dict[str, float] = {}
     total = 0.0
-    for r in rows:
-        us = float(r[tkey] or 0.0)
-        agg[r[nkey]] = agg.get(r[nkey], 0.0) + us
-        cat[r.get(ckey, "?")] = cat.get(r.get(ckey, "?"), 0.0) + us
+    for row in table["rows"]:
+        c = row["c"]
+
+        def val(i):
+            v = c[i].get("v") if c[i] else None
+            return v
+
+        us = float(val(i_time) or 0.0)
+        name = str(val(i_name))
+        agg[name] = agg.get(name, 0.0) + us
+        k = str(val(i_cat))
+        cat[k] = cat.get(k, 0.0) + us
         total += us
 
     print(f"total device self-time: {total/1e3:.1f} ms for {int(rays)} rays "

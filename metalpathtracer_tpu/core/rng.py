@@ -33,6 +33,7 @@ PURPOSE_FRESNEL = 2  # dielectric reflect-vs-refract (Scatter.h:19)
 PURPOSE_RR = 3  # Russian-roulette survival
 PURPOSE_LIGHT = 4  # next-event-estimation light sampling
 PURPOSE_LENS = 5  # depth-of-field lens sampling (future)
+PURPOSE_LIGHT_PICK = 6  # which light the NEE shadow ray targets
 
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
 _PARITY = 0x1BD11BDA  # threefry key-schedule parity constant

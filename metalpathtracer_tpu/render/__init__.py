@@ -10,6 +10,7 @@ from metalpathtracer_tpu.render.integrator import (
 from metalpathtracer_tpu.render.pipeline import (
     AccumState,
     accumulate,
+    accumulate_wavefront,
     generate_rays,
     init_accum,
     render_image,
@@ -30,6 +31,7 @@ __all__ = [
     "trace_wavefront",
     "AccumState",
     "accumulate",
+    "accumulate_wavefront",
     "init_accum",
     "render_image",
     "render_image_wavefront",

@@ -64,10 +64,101 @@ class DeviceScene:
     # 64-byte row gather.
     prim_mat_id: jax.Array  # int32 (P,)
     mat_bank: jax.Array  # float32 (M, 16), M padded to 8
+    # light table for next-event estimation + MIS (integrator._sample_light):
+    # every emissive primitive (sphere or triangle), power-weighted pick.
+    # The reference has no light sampling at all (`PathTracing.h:207-259`
+    # finds lights only by random hits); this is the BASELINE config-4 axis.
+    light_kind: jax.Array  # int32 (L,) 0=sphere, 1=triangle
+    light_prim: jax.Array  # int32 (L,) original primitive index
+    light_q0: jax.Array  # float32 (L, 3) sphere center / tri v0
+    light_e1: jax.Array  # float32 (L, 3) tri edge1; sphere [r, 0, 0]
+    light_e2: jax.Array  # float32 (L, 3) tri edge2
+    light_normal: jax.Array  # float32 (L, 3) unit normal (tris; 0 for spheres)
+    light_emission: jax.Array  # float32 (L, 3) emission_color * power
+    light_area: jax.Array  # float32 (L,) surface area
+    light_pick_p: jax.Array  # float32 (L,) pick probability (flux-weighted)
+    light_cdf: jax.Array  # float32 (L,) inclusive CDF over pick_p
+    prim_light_id: jax.Array  # int32 (P,) light row per prim, -1 if none
     # static metadata (not traced)
     num_real: int = dataclasses.field(metadata=dict(static=True))
     max_depth: int = dataclasses.field(metadata=dict(static=True))
     num_tris: int = dataclasses.field(metadata=dict(static=True))
+    num_lights: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _build_light_table(packed: PackedScene) -> dict:
+    """Host-side light table over every emissive primitive. Pick weights are
+    proportional to radiant flux (max emission channel x power x area), so a
+    dim candle is rarely sampled next to a bright panel."""
+    from metalpathtracer_tpu.scene.types import PRIM_SPHERE, PRIM_TRIANGLE
+
+    p = packed.num_padded
+    real = np.arange(p) < packed.num_real
+    brightness = packed.emission_power * packed.emission_color.max(axis=-1)
+    sel = np.nonzero(real & (brightness > 0.0))[0].astype(np.int32)
+    n = len(sel)
+
+    kind = np.where(
+        packed.prim_type[sel] == PRIM_TRIANGLE, 1, 0
+    ).astype(np.int32)
+    q0 = packed.p0[sel].astype(np.float32)
+    e1 = np.where(
+        kind[:, None] == 1,
+        packed.p1[sel] - packed.p0[sel],
+        np.concatenate(
+            [packed.p1[sel, 0:1], np.zeros((n, 2), np.float32)], axis=1
+        ),
+    ).astype(np.float32)
+    e2 = np.where(
+        kind[:, None] == 1, packed.p2[sel] - packed.p0[sel], 0.0
+    ).astype(np.float32)
+    cr = np.cross(e1, e2)
+    crlen = np.linalg.norm(cr, axis=-1)
+    normal = np.where(
+        (kind == 1)[:, None] & (crlen > 0)[:, None],
+        cr / np.maximum(crlen, 1e-20)[:, None],
+        0.0,
+    ).astype(np.float32)
+    radius = packed.p1[sel, 0]
+    area = np.where(
+        kind == 1, 0.5 * crlen, 4.0 * np.pi * radius * radius
+    ).astype(np.float32)
+    weight = brightness[sel] * area
+    total = weight.sum()
+    pick_p = (weight / total if total > 0 else weight).astype(np.float32)
+
+    # pad to >= 1 row so the table is never empty (zero-weight padding)
+    pad = max(1 - n, 0)
+
+    def padr(a, fill=0):
+        return np.concatenate(
+            [a, np.full((pad, *a.shape[1:]), fill, a.dtype)]
+        ) if pad else a
+
+    prim_light_id = np.full(p, -1, np.int32)
+    prim_light_id[sel] = np.arange(n, dtype=np.int32)
+
+    cdf = np.cumsum(padr(pick_p))
+    if total > 0:
+        cdf[-1] = 1.0  # guard fp drift so searchsorted never overruns
+
+    return dict(
+        kind=padr(kind),
+        prim=padr(sel, fill=-1),
+        q0=padr(q0),
+        e1=padr(e1),
+        e2=padr(e2),
+        normal=padr(normal),
+        emission=padr(
+            (packed.emission_color[sel]
+             * packed.emission_power[sel, None]).astype(np.float32)
+        ),
+        area=padr(area),
+        pick_p=padr(pick_p),
+        cdf=cdf.astype(np.float32),
+        prim_light_id=prim_light_id,
+        n=n,
+    )
 
 
 def upload_scene(
@@ -104,6 +195,8 @@ def upload_scene(
     mat[:, 7] = packed.emission_power
     mat[:, 8] = packed.fuzz
 
+    lights = _build_light_table(packed)
+
     mat_bank, prim_mat_id = np.unique(mat, axis=0, return_inverse=True)
     pad_m = (-mat_bank.shape[0]) % 8
     mat_bank = np.concatenate(
@@ -139,7 +232,19 @@ def upload_scene(
         mat_table=jax.numpy.asarray(mat),
         prim_mat_id=jax.numpy.asarray(prim_mat_id.astype(np.int32)),
         mat_bank=jax.numpy.asarray(mat_bank),
+        light_kind=jax.numpy.asarray(lights["kind"]),
+        light_prim=jax.numpy.asarray(lights["prim"]),
+        light_q0=jax.numpy.asarray(lights["q0"]),
+        light_e1=jax.numpy.asarray(lights["e1"]),
+        light_e2=jax.numpy.asarray(lights["e2"]),
+        light_normal=jax.numpy.asarray(lights["normal"]),
+        light_emission=jax.numpy.asarray(lights["emission"]),
+        light_area=jax.numpy.asarray(lights["area"]),
+        light_pick_p=jax.numpy.asarray(lights["pick_p"]),
+        light_cdf=jax.numpy.asarray(lights["cdf"]),
+        prim_light_id=jax.numpy.asarray(lights["prim_light_id"]),
         num_real=int(packed.num_real),
         max_depth=int(bvh.max_depth),
         num_tris=int(w["n_tris"]),
+        num_lights=int(lights["n"]),
     )

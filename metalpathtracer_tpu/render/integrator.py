@@ -18,7 +18,8 @@ Estimator semantics preserved (SURVEY.md §7 "hard parts" (c)):
 
 Extensions the reference lacks but BASELINE configs 3-4 require: all BSDF
 lobes wired (mirror/glossy/dielectric), Russian-roulette termination, and
-next-event estimation (explicit light sampling) for emissive spheres.
+next-event estimation over a flux-weighted light table (emissive spheres
+AND triangles) with power-heuristic MIS against the BSDF route.
 """
 
 from __future__ import annotations
@@ -66,7 +67,10 @@ class RenderConfig:
     megakernel: bool = False
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
-    nee: bool = False  # next-event estimation for emissive spheres
+    # next-event estimation: one flux-weighted light sample per diffuse
+    # bounce over ALL emissive primitives (spheres + triangles), combined
+    # with the BSDF route by the power heuristic (MIS)
+    nee: bool = False
     # wavefront bounces advanced per regeneration cycle: >1 amortizes the
     # fixed per-iteration regen cost when iteration count dominates (small
     # pools), at the price of lanes idling between their death and the next
@@ -133,57 +137,123 @@ def _fetch_material(scene, idx):
     return scene.mat_table[midx]
 
 
-def _sample_light_sphere(scene, point, u1, u2):
-    """Pick the scene's brightest emissive sphere and sample a direction
-    toward it (uniform over the subtended cone). Returns
-    (dir, dist, radiance, pdf_valid). Static single-light NEE — enough for
-    the BASELINE config-4 scene family (one emissive sphere light)."""
-    power = jnp.where(
-        (scene.prim_type == PRIM_SPHERE) & (scene.emission_power > 0.0),
-        scene.emission_power * jnp.max(scene.emission_color, axis=-1),
-        0.0,
-    )
-    light = jnp.argmax(power)
-    center = scene.p0[light]
-    radius = scene.p1[light, 0]
-    emission = scene.emission_color[light] * scene.emission_power[light]
+def _sphere_cone_pdf(center, radius, point):
+    """Solid-angle pdf of cone-sampling the sphere from `point` (uniform
+    over the subtended cone): 1 / (2 pi (1 - cos_max)). 0 when `point` is
+    inside the sphere (the sampler never fires there, so the MIS
+    counterweight must vanish too)."""
+    dist2 = vm.length_squared(center - point)
+    sin_max2 = jnp.clip(radius * radius / jnp.maximum(dist2, 1e-20), 0.0, 1.0)
+    cos_max = jnp.sqrt(1.0 - sin_max2)
+    pdf = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-12)
+    return jnp.where(dist2 > radius * radius, pdf, 0.0)
 
-    to_c = center - point
-    dist2 = vm.length_squared(to_c)
-    dist = jnp.sqrt(dist2)
-    w = to_c / dist[..., None]
-    # cone sampling (uniform direction within the cone subtending the sphere)
+
+def _sample_light(scene, point, u_pick, u1, u2):
+    """Flux-weighted next-event sample over the scene's light table
+    (emissive spheres AND triangles — the single-brightest-sphere sampler
+    this replaces covered only BASELINE config 4's simplest scene family).
+
+    Spheres: uniform direction within the subtended cone. Triangles:
+    uniform-area point sample, pdf converted to solid angle. Returns
+    (dir, dist, radiance, pdf (solid-angle, incl. pick prob), light_prim,
+    valid). pdf is 0 where invalid; callers gate on it.
+    """
+    j = jnp.clip(
+        jnp.searchsorted(scene.light_cdf, u_pick, side="left"),
+        0, scene.light_cdf.shape[0] - 1,
+    )
+    kind = scene.light_kind[j]
+    q0 = scene.light_q0[j]
+    e1 = scene.light_e1[j]
+    e2 = scene.light_e2[j]
+    nrm = scene.light_normal[j]
+    emission = scene.light_emission[j]
+    area = scene.light_area[j]
+    pick_p = scene.light_pick_p[j]
+    lprim = scene.light_prim[j]
+
+    # --- sphere: cone sampling around the center direction ---
+    to_c = q0 - point
+    dist2 = jnp.maximum(vm.length_squared(to_c), 1e-20)
+    cdist = jnp.sqrt(dist2)
+    w = to_c / cdist[..., None]
+    radius = e1[..., 0]
     sin_max2 = jnp.clip(radius * radius / dist2, 0.0, 1.0)
     cos_max = jnp.sqrt(1.0 - sin_max2)
     cos_t = 1.0 - u1 * (1.0 - cos_max)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     phi = 2.0 * jnp.pi * u2
-    # orthonormal basis around w
-    a = vm.where3(jnp.abs(w[..., 0]) > 0.9, jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+    a = vm.where3(
+        jnp.abs(w[..., 0]) > 0.9,
+        jnp.array([0.0, 1.0, 0.0]),
+        jnp.array([1.0, 0.0, 0.0]),
+    )
     t1 = vm.normalize(vm.cross(a, w))
     t2 = vm.cross(w, t1)
-    dir_out = (
+    sph_dir = (
         t1 * (sin_t * jnp.cos(phi))[..., None]
         + t2 * (sin_t * jnp.sin(phi))[..., None]
         + w * cos_t[..., None]
     )
-    # pdf over solid angle = 1 / (2*pi*(1-cos_max)); contribution weight:
-    inv_pdf = 2.0 * jnp.pi * (1.0 - cos_max)
-    valid = power[light] > 0.0
-    return dir_out, dist, emission, inv_pdf, light, valid
+    sph_pdf = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-12)
+    sph_valid = dist2 > radius * radius  # inside the light: no cone
+
+    # --- triangle: uniform area sample, pdf -> solid angle ---
+    su = jnp.sqrt(u1)
+    b1 = 1.0 - su
+    b2 = u2 * su
+    x_l = q0 + b1[..., None] * e1 + b2[..., None] * e2
+    to_l = x_l - point
+    tdist2 = jnp.maximum(vm.length_squared(to_l), 1e-20)
+    tdist = jnp.sqrt(tdist2)
+    tri_dir = to_l / tdist[..., None]
+    # two-sided emitter (reference semantics: emission counts regardless of
+    # face, PathTracing.h:245-249) -> |cos| at the light
+    cos_l = jnp.abs(vm.dot(nrm, tri_dir))
+    tri_pdf = tdist2 / jnp.maximum(cos_l * area, 1e-12)
+    tri_valid = cos_l > 1e-6
+
+    is_tri = kind == 1
+    dir_out = vm.where3(is_tri, tri_dir, sph_dir)
+    dist = jnp.where(is_tri, tdist, cdist)
+    pdf_sa = jnp.where(is_tri, tri_pdf, sph_pdf)
+    valid = (pick_p > 0.0) & jnp.where(is_tri, tri_valid, sph_valid)
+    pdf = jnp.where(valid, pick_p * pdf_sa, 0.0)
+    return dir_out, dist, emission, pdf, lprim, valid
 
 
-def _bounce_step(scene, o, d, light, throughput, active, prev_nee,
+def _light_pdf_toward(scene, origin, d, t, idx):
+    """Solid-angle pdf (incl. pick prob) with which `_sample_light` would
+    have generated direction `d` from `origin`, given the ray hit light
+    primitive `idx` at distance `t`. 0 if the hit prim is not in the light
+    table. This is the MIS counterweight for BSDF-found emission."""
+    lid = scene.prim_light_id[jnp.maximum(idx, 0)]
+    lid_c = jnp.maximum(lid, 0)
+    kind = scene.light_kind[lid_c]
+    pick_p = scene.light_pick_p[lid_c]
+    q0 = scene.light_q0[lid_c]
+    radius = scene.light_e1[lid_c, 0]
+    nrm = scene.light_normal[lid_c]
+    area = scene.light_area[lid_c]
+
+    sph_pdf = _sphere_cone_pdf(q0, radius, origin)
+    cos_l = jnp.abs(vm.dot(nrm, d))
+    tri_pdf = (t * t) / jnp.maximum(cos_l * area, 1e-12)
+    pdf = jnp.where(kind == 1, tri_pdf, sph_pdf) * pick_p
+    return jnp.where((lid >= 0) & (idx >= 0), pdf, 0.0)
+
+
+def _bounce_step(scene, o, d, light, throughput, active, prev_pdf,
                  pixel_id, sample_id, bounce, seed, cfg):
     """Advance every lane one bounce (shared by the scan integrator and the
     regeneration wavefront). `bounce` may be a scalar or a per-lane (N,)
-    array; RNG draws key on it either way. `prev_nee` flags lanes whose
-    PREVIOUS bounce actually cast a shadow ray at the NEE light — exactly
-    those lanes must have BSDF-found emission on that light suppressed
-    (anything broader silently darkens the render: diffuse hits where the
-    light straddles the horizon, and bounces off emissive surfaces, never
-    cast shadow rays). Returns
-    (o, d, light, throughput, still_active, prev_nee, rays_counted)."""
+    array; RNG draws key on it either way. `prev_pdf` carries the cosine
+    pdf of the PREVIOUS bounce's scattered direction for lanes whose
+    previous bounce also ran light sampling (0 otherwise) — the MIS
+    counterweight that lets the light-sample and BSDF routes both count
+    every emitter without double-counting. Returns
+    (o, d, light, throughput, still_active, prev_pdf, rays_counted)."""
     rays_counted = jnp.sum(active, dtype=jnp.int32)
 
     t, idx, normal, front_face = _trace_rays(scene, o, d, cfg, active=active)
@@ -202,47 +272,55 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_nee,
     power = mat_row[:, 7]
     fuzz = mat_row[:, 8]
 
-    # --- emissive accumulation (PathTracing.h:245-249) ---
-    emissive = bsdf.is_emissive(mat_type, power)
-    if cfg.nee:
-        ul1, ul2 = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.PURPOSE_LIGHT)
-        ldir, ldist, lrad, inv_pdf, lidx, lvalid = _sample_light_sphere(
-            scene, point, ul1, ul2
-        )
-        # NEE handles exactly ONE light (the brightest emissive sphere), so
-        # BSDF-found emission on THAT light is suppressed exactly when the
-        # previous bounce cast a shadow ray at it (prev_nee); every other
-        # path — specular bounces, diffuse hits whose shadow ray was never
-        # cast, other emitters — still contributes through the naive route.
-        count_emission = hit_live & emissive & (~prev_nee | (idx != lidx))
-    else:
-        count_emission = hit_live & emissive
-    light = light + jnp.where(
-        count_emission[:, None], throughput * emission * power[:, None], 0.0
-    )
+    use_nee = cfg.nee and scene.num_lights > 0
 
-    # --- next-event estimation (extension; BASELINE config 4) ---
-    if cfg.nee:
+    # --- emissive accumulation (PathTracing.h:245-249) ---
+    # With NEE the BSDF route still counts every light hit, weighted by the
+    # power-heuristic MIS counterweight against the light sampler's density
+    # for this same direction (1 when the previous bounce was specular, a
+    # camera ray, or never sampled lights).
+    emissive = bsdf.is_emissive(mat_type, power)
+    count_emission = hit_live & emissive
+    emit = throughput * emission * power[:, None]
+    if use_nee:
+        pdf_l_hit = _light_pdf_toward(scene, o, d, t, idx)
+        w_bsdf = jnp.where(
+            prev_pdf > 0.0,
+            (prev_pdf * prev_pdf)
+            / jnp.maximum(prev_pdf * prev_pdf + pdf_l_hit * pdf_l_hit, 1e-20),
+            1.0,
+        )
+        emit = emit * w_bsdf[:, None]
+    light = light + jnp.where(count_emission[:, None], emit, 0.0)
+
+    # --- next-event estimation + MIS (extension; BASELINE config 4) ---
+    if use_nee:
         is_diffuse = (mat_type == 0.0) | (mat_type == 2.0)
+        u_pick = rng.uniform1(
+            seed, pixel_id, sample_id, bounce, rng.PURPOSE_LIGHT_PICK
+        )
+        ul1, ul2 = rng.uniform2(
+            seed, pixel_id, sample_id, bounce, rng.PURPOSE_LIGHT
+        )
+        ldir, ldist, lrad, pdf_l, lprim, lvalid = _sample_light(
+            scene, point, u_pick, ul1, ul2
+        )
         cos_s = vm.dot(normal, ldir)
         cand = hit_live & is_diffuse & (cos_s > 0.0) & lvalid & ~emissive
         s_o = point + (1e-3) * normal
         st, sidx, _, _ = _trace_rays(scene, s_o, ldir, cfg, active=cand)
         rays_counted = rays_counted + jnp.sum(cand, dtype=jnp.int32)
-        lit = cand & (sidx == lidx)
-        # Lambertian BRDF albedo/pi, cosine term, cone inv-pdf
-        contrib = (
-            throughput * albedo * lrad * (cos_s * inv_pdf / jnp.pi)[..., None]
+        lit = cand & (sidx == lprim)
+        # Lambertian BRDF albedo/pi x cos / pdf, weighted by the power
+        # heuristic against the cosine-hemisphere pdf of the same direction
+        pdf_b_l = jnp.maximum(cos_s, 0.0) / jnp.pi
+        w_light = (pdf_l * pdf_l) / jnp.maximum(
+            pdf_l * pdf_l + pdf_b_l * pdf_b_l, 1e-20
         )
+        scale = cos_s * w_light / (jnp.pi * jnp.maximum(pdf_l, 1e-12))
+        contrib = throughput * albedo * lrad * scale[..., None]
         light = light + jnp.where(lit[:, None], contrib, 0.0)
-        # "NEE attempted" = a light sample was DRAWN for this lane, whether
-        # or not a shadow ray was worth tracing: a below-horizon cone sample
-        # (cos_s <= 0) is a legitimate zero-valued draw, so the BSDF route
-        # must still be suppressed for it — gating on cand double-counts.
-        # Consumed at the NEXT bounce's emission gate.
-        new_nee = hit_live & is_diffuse & lvalid & ~emissive
-    else:
-        new_nee = jnp.zeros_like(prev_nee)
+        nee_ran = hit_live & is_diffuse & ~emissive
 
     # --- scatter (PathTracing.h:251-256, Scatter.h wired) ---
     unit_vec = rng.random_unit_vector(seed, pixel_id, sample_id, bounce)
@@ -267,11 +345,20 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_nee,
         survive = (~do_rr) | (u_rr < p)
         hit_live = hit_live & survive
 
+    # MIS counterweight source for the NEXT bounce: the cosine pdf of the
+    # direction we just scattered, on lanes where light sampling ran
+    if use_nee:
+        new_pdf = jnp.where(
+            nee_ran, jnp.maximum(vm.dot(normal, d_out), 0.0) / jnp.pi, 0.0
+        )
+    else:
+        new_pdf = jnp.zeros_like(prev_pdf)
+
     o = vm.where3(hit_live, new_o, o)
     d = vm.where3(hit_live, d_out, d)
     throughput = jnp.where(hit_live[:, None], new_tp, throughput)
-    prev_nee = jnp.where(hit_live, new_nee, prev_nee)
-    return o, d, light, throughput, hit_live, prev_nee, rays_counted
+    prev_pdf = jnp.where(hit_live, new_pdf, prev_pdf)
+    return o, d, light, throughput, hit_live, prev_pdf, rays_counted
 
 
 def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CONFIG):
@@ -291,10 +378,10 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
     light = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
-    # prev_nee: the previous bounce cast a shadow ray at the NEE light, so
-    # BSDF-found emission on that light must be suppressed this bounce.
-    # Camera rays sampled nothing.
-    prev_nee = jnp.zeros((n,), bool)
+    # prev_pdf: cosine pdf of the previous bounce's scattered direction on
+    # lanes whose previous bounce ran light sampling (MIS counterweight).
+    # Camera rays sampled nothing -> 0.
+    prev_pdf = jnp.zeros((n,), jnp.float32)
     rays_traced = jnp.zeros((), jnp.int32)
 
     def cond(state):
@@ -302,18 +389,18 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
         return (bounce < cfg.max_depth) & jnp.any(active)
 
     def body(state):
-        bounce, o, d, light, throughput, active, prev_nee, rays_traced = state
-        o, d, light, throughput, active, prev_nee, counted = _bounce_step(
-            scene, o, d, light, throughput, active, prev_nee,
+        bounce, o, d, light, throughput, active, prev_pdf, rays_traced = state
+        o, d, light, throughput, active, prev_pdf, counted = _bounce_step(
+            scene, o, d, light, throughput, active, prev_pdf,
             pixel_id, sample_id, bounce, seed, cfg,
         )
-        return (bounce + 1, o, d, light, throughput, active, prev_nee,
+        return (bounce + 1, o, d, light, throughput, active, prev_pdf,
                 rays_traced + counted)
 
     _, _, _, light, _, _, _, rays_traced = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), o, d, light, throughput, active, prev_nee, rays_traced),
+        (jnp.int32(0), o, d, light, throughput, active, prev_pdf, rays_traced),
     )
     if cfg.clamp_radiance:
         light = jnp.clip(light, 0.0, 1.0)
@@ -590,7 +677,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         bounce=jnp.zeros((pool,), jnp.int32),
         light=jnp.zeros((pool, 3), jnp.float32),
         tp=jnp.ones((pool, 3), jnp.float32),
-        prev_nee=jnp.zeros((pool,), bool),
+        prev_pdf=jnp.zeros((pool,), jnp.float32),
         alive=item0 < total,
         fb=jnp.zeros((n_pix, 3), jnp.float32),
         next_item=jnp.uint32(min(pool, total)),
@@ -611,14 +698,14 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         # (cumsum, scatter-add, raygen, ~20 masked updates) whose fixed op
         # cost dominates when the pool is small
         o, d, light, tp = st["o"], st["d"], st["light"], st["tp"]
-        prev_nee = st["prev_nee"]
+        prev_pdf = st["prev_pdf"]
         bounce = st["bounce"]
         still = alive
         counted = jnp.zeros((), jnp.int32)
         for k in range(max(1, cfg.bounces_per_iter)):
             step_active = still & (bounce + k < cfg.max_depth)
-            o, d, light, tp, still, prev_nee, c = _bounce_step(
-                scene, o, d, light, tp, step_active, prev_nee,
+            o, d, light, tp, still, prev_pdf, c = _bounce_step(
+                scene, o, d, light, tp, step_active, prev_pdf,
                 st["pixel"], st["sample"], bounce + k, seed, cfg,
             )
             counted = counted + c
@@ -645,7 +732,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         light = jnp.where(regen[:, None], 0.0, light)
         tp = jnp.where(regen[:, None], 1.0, tp)
         bounce = jnp.where(regen, 0, bounce_next)
-        prev_nee = jnp.where(regen, False, prev_nee)
+        prev_pdf = jnp.where(regen, 0.0, prev_pdf)
         alive = survivors | regen
         next_item = jnp.minimum(
             st["next_item"] + jnp.sum(term, dtype=jnp.uint32), jnp.uint32(total)
@@ -678,12 +765,12 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             bounce = bounce[perm]
             light = light[perm]
             tp = tp[perm]
-            prev_nee = prev_nee[perm]
+            prev_pdf = prev_pdf[perm]
             alive = alive[perm]
 
         return dict(
             pixel=pixel, sample=sample, o=o, d=d, bounce=bounce, light=light,
-            tp=tp, prev_nee=prev_nee, alive=alive, fb=fb,
+            tp=tp, prev_pdf=prev_pdf, alive=alive, fb=fb,
             next_item=next_item, rays=st["rays"] + counted,
         )
 
@@ -694,7 +781,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     drain = dict(
         pixel=state["pixel"], sample=state["sample"], o=state["o"],
         d=state["d"], bounce=state["bounce"], light=state["light"],
-        tp=state["tp"], prev_nee=state["prev_nee"], alive=state["alive"],
+        tp=state["tp"], prev_pdf=state["prev_pdf"], alive=state["alive"],
         rays=state["rays"],
     )
     # phase-1 already flushed its terminated lanes; zero their light so the
@@ -709,19 +796,19 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
 
         def dbody(s):
             o, d, light, tp = s["o"], s["d"], s["light"], s["tp"]
-            prev_nee, bounce, still = s["prev_nee"], s["bounce"], s["alive"]
+            prev_pdf, bounce, still = s["prev_pdf"], s["bounce"], s["alive"]
             counted = jnp.zeros((), jnp.int32)
             for k in range(max(1, cfg.bounces_per_iter)):
                 step_active = still & (bounce + k < cfg.max_depth)
-                o, d, light, tp, still, prev_nee, c = _bounce_step(
-                    scene, o, d, light, tp, step_active, prev_nee,
+                o, d, light, tp, still, prev_pdf, c = _bounce_step(
+                    scene, o, d, light, tp, step_active, prev_pdf,
                     s["pixel"], s["sample"], bounce + k, seed, cfg,
                 )
                 counted = counted + c
             bounce = bounce + max(1, cfg.bounces_per_iter)
             return dict(
                 pixel=s["pixel"], sample=s["sample"], o=o, d=d, bounce=bounce,
-                light=light, tp=tp, prev_nee=prev_nee,
+                light=light, tp=tp, prev_pdf=prev_pdf,
                 alive=still & (bounce < cfg.max_depth),
                 rays=s["rays"] + counted,
             )

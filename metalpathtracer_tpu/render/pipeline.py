@@ -207,6 +207,41 @@ def accumulate(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "n_samples", "cfg", "pool_size"),
+    donate_argnums=(0,),
+)
+def accumulate_wavefront(
+    state: AccumState,
+    scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    n_samples: int,
+    seed,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    pool_size: int | None = None,
+) -> tuple[AccumState, jax.Array]:
+    """`accumulate` on the persistent-wavefront integrator — the interactive
+    front-end's fast path (sample ids continue at state.spp via
+    sample_offset, so progressive estimates match the scan route's exactly).
+    Returns (state, rays_traced) for the viewer's Mrays/s status line."""
+    from metalpathtracer_tpu.render.integrator import trace_wavefront
+
+    fb, rays = trace_wavefront(
+        scene, camera, width, height, n_samples, seed, cfg, pool_size,
+        sample_offset=state.spp.astype(jnp.uint32),
+    )
+    return (
+        AccumState(
+            rgb_sum=state.rgb_sum + fb.reshape(height, width, 3),
+            spp=state.spp + n_samples,
+        ),
+        rays,
+    )
+
+
 def to_image(state: AccumState, clamp: bool = True) -> jax.Array:
     """Resolve the progressive state to a displayable linear image
     (reference `Fragment.metal:62-67` running average + clamp)."""

@@ -7,18 +7,26 @@ implemented but never wired in (`ControllerView.mm` has no caller —
 SURVEY.md §2#5, appendix 6). This viewer completes the intended loop
 (SURVEY.md §3.3):
 
-    key event → InputState → apply_inputs → camera changed?
+    key/mouse event → InputState → apply_inputs → camera changed?
         → reset accumulation : keep accumulating → draw
 
-Rendering goes to the terminal as 24-bit-color half-block characters (two
-image rows per text row), so it runs over SSH with zero display deps. Keys:
+Rendering uses the persistent-wavefront integrator (the fast path) and
+overlaps the device dispatch with input polling: while the chip traces,
+the host keeps draining the event queue, so controls stay live at any
+frame rate. Output goes to the terminal as 24-bit-color half-block
+characters (two image rows per text row), so it runs over SSH with zero
+display deps.
 
-    w/a/s/d  move (horizontal, y-locked like the reference)
-    space/c  up / down
-    arrows   rotate (yaw/pitch)
-    +/-      zoom (fov)
-    r        reset camera        p  save PNG to runs/
-    q        quit
+Controls (mouse needs an xterm-compatible terminal; keys always work):
+
+    mouse drag      rotate (ControllerView.mm:41-44, now wired)
+    scroll wheel    zoom (ControllerView.mm:71-73)
+    w/a/s/d         move (horizontal, y-locked like the reference)
+    space/c         up / down
+    arrows          rotate (yaw/pitch)
+    +/-             zoom (fov)
+    r               reset camera        p  save PNG to runs/
+    q               quit
 """
 
 from __future__ import annotations
@@ -32,25 +40,63 @@ import tty
 
 import numpy as np
 
+# xterm mouse reporting: button-event tracking (drag) + SGR extended coords
+_MOUSE_ON = "\x1b[?1002h\x1b[?1006h"
+_MOUSE_OFF = "\x1b[?1006l\x1b[?1002l"
 
-def _read_keys(timeout: float = 0.0) -> list[str]:
-    """Non-blocking read of pending keypresses (arrow keys decoded)."""
-    keys = []
+
+def _read_events(timeout: float = 0.0) -> list[tuple]:
+    """Non-blocking read of pending input events.
+
+    Returns a list of ("key", ch), ("mouse", btn, x, y, is_press),
+    ("drag", x, y) or ("scroll", direction) tuples. Arrow keys decode to
+    ("key", "up"/"down"/"left"/"right"); SGR mouse sequences
+    (ESC [ < b ; x ; y M/m) decode to drag/scroll events the way the
+    reference's ControllerView NSEvent handlers would see them.
+    """
+    events: list[tuple] = []
     while select.select([sys.stdin], [], [], timeout)[0]:
-        ch = sys.stdin.read(1)
-        if ch == "\x1b":  # possible escape sequence
-            if select.select([sys.stdin], [], [], 0.01)[0]:
-                ch2 = sys.stdin.read(1)
-                if ch2 == "[" and select.select([sys.stdin], [], [], 0.01)[0]:
-                    ch3 = sys.stdin.read(1)
-                    keys.append({"A": "up", "B": "down", "C": "right",
-                                 "D": "left"}.get(ch3, ""))
-                    continue
-            keys.append("esc")
-        else:
-            keys.append(ch)
         timeout = 0.0
-    return keys
+        ch = sys.stdin.read(1)
+        if ch != "\x1b":
+            events.append(("key", ch))
+            continue
+        if not select.select([sys.stdin], [], [], 0.01)[0]:
+            events.append(("key", "esc"))
+            continue
+        ch2 = sys.stdin.read(1)
+        if ch2 != "[":
+            events.append(("key", "esc"))
+            continue
+        if not select.select([sys.stdin], [], [], 0.01)[0]:
+            continue
+        ch3 = sys.stdin.read(1)
+        if ch3 in "ABCD":
+            events.append(("key", {"A": "up", "B": "down", "C": "right",
+                                   "D": "left"}[ch3]))
+            continue
+        if ch3 != "<":
+            continue
+        # SGR mouse: <btn>;<x>;<y>(M=press/motion | m=release)
+        seq = ""
+        while select.select([sys.stdin], [], [], 0.01)[0]:
+            c = sys.stdin.read(1)
+            if c in "Mm":
+                try:
+                    btn_s, x_s, y_s = seq.split(";")
+                    btn = int(btn_s)
+                    x, y = int(x_s), int(y_s)
+                except ValueError:
+                    break
+                if btn & 64:  # scroll wheel
+                    events.append(("scroll", -1 if (btn & 3) == 0 else 1))
+                elif btn & 32:  # motion with button held = drag
+                    events.append(("drag", x, y))
+                else:
+                    events.append(("mouse", btn & 3, x, y, c == "M"))
+                break
+            seq += c
+    return events
 
 
 def _frame_to_ansi(img: np.ndarray) -> str:
@@ -75,7 +121,9 @@ def _frame_to_ansi(img: np.ndarray) -> str:
 
 def run_viewer(scene_path: str, width: int = 128, height: int = 72,
                spp_per_frame: int = 1, max_depth: int = 8, seed: int = 0,
-               max_frames: int | None = None, fit_terminal: bool = False) -> None:
+               max_frames: int | None = None, fit_terminal: bool = False,
+               integrator: str = "wavefront",
+               mouse: bool = True) -> None:
     import jax.numpy as jnp
 
     from metalpathtracer_tpu.io import write_png
@@ -83,6 +131,7 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
         Camera,
         RenderConfig,
         accumulate,
+        accumulate_wavefront,
         init_accum,
         to_image,
         upload_scene,
@@ -95,6 +144,7 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
     cfg = RenderConfig(max_depth=max_depth)
     state = init_accum(width, height)
     inputs = InputState()
+    use_wavefront = integrator == "wavefront"
 
     def terminal_render_size():
         try:
@@ -107,11 +157,20 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
         width, height = terminal_render_size()
         state = init_accum(width, height)
 
+    def drag_scale(w):
+        # one full image-width drag sweeps ~half a turn, like dragging
+        # across the reference's window (rotate speed lives in apply_inputs)
+        return 1600.0 / max(w, 1)
+
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
     sys.stdout.write("\x1b[2J")  # clear
+    if mouse:
+        sys.stdout.write(_MOUSE_ON)
+        sys.stdout.flush()
     frames = 0
+    drag_last: tuple[int, int] | None = None
     try:
         while max_frames is None or frames < max_frames:
             # resize → rebuild accumulation at the new size AND reset the
@@ -123,42 +182,100 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
                     width, height = new_w, new_h
                     state = init_accum(width, height)
                     sys.stdout.write("\x1b[2J")
-            # --- input → camera (reference §3.3 latent path, now live) ---
-            for k in _read_keys():
-                if k == "q":
-                    return
-                elif k == "w":
-                    inputs.movement = np.array([0, 0, 1], np.float32)
-                elif k == "s":
-                    inputs.movement = np.array([0, 0, -1], np.float32)
-                elif k == "a":
-                    inputs.movement = np.array([-1, 0, 0], np.float32)
-                elif k == "d":
-                    inputs.movement = np.array([1, 0, 0], np.float32)
-                elif k == " ":
-                    inputs.movement = np.array([0, 1, 0], np.float32)
-                elif k == "c":
-                    inputs.movement = np.array([0, -1, 0], np.float32)
-                elif k == "left":
-                    inputs.rotation = np.array([-40.0, 0], np.float32)
-                elif k == "right":
-                    inputs.rotation = np.array([40.0, 0], np.float32)
-                elif k == "up":
-                    inputs.rotation = np.array([0, -40.0], np.float32)
-                elif k == "down":
-                    inputs.rotation = np.array([0, 40.0], np.float32)
-                elif k == "+":
-                    inputs.zoom = -20.0
-                elif k == "-":
-                    inputs.zoom = 20.0
-                elif k == "r":
-                    inputs.reset = True
-                elif k == "p":
-                    os.makedirs("runs", exist_ok=True)
-                    out = f"runs/viewer_{int(time.time())}.png"
-                    write_png(out, np.asarray(to_image(state)))
-                    sys.stdout.write(f"\x1b[H\x1b[2Ksaved {out}\n")
 
+            # --- one progressive step, dispatched asynchronously ---------
+            t0 = time.perf_counter()
+            if use_wavefront:
+                pending, rays = accumulate_wavefront(
+                    state, scene, cam, width, height, spp_per_frame,
+                    jnp.uint32(seed), cfg,
+                )
+            else:
+                pending = accumulate(
+                    state, scene, cam, width, height, spp_per_frame,
+                    jnp.uint32(seed), cfg,
+                )
+                rays = None
+
+            # --- input → camera while the device renders (§3.3, now with
+            # the reference's mouse modality: drag=rotate, wheel=zoom) -----
+            quit_req = False
+            save_req = False
+            while True:
+                for ev in _read_events():
+                    kind = ev[0]
+                    if kind == "key":
+                        k = ev[1]
+                        if k == "q":
+                            quit_req = True
+                        elif k == "w":
+                            inputs.movement = np.array([0, 0, 1], np.float32)
+                        elif k == "s":
+                            inputs.movement = np.array([0, 0, -1], np.float32)
+                        elif k == "a":
+                            inputs.movement = np.array([-1, 0, 0], np.float32)
+                        elif k == "d":
+                            inputs.movement = np.array([1, 0, 0], np.float32)
+                        elif k == " ":
+                            inputs.movement = np.array([0, 1, 0], np.float32)
+                        elif k == "c":
+                            inputs.movement = np.array([0, -1, 0], np.float32)
+                        elif k == "left":
+                            inputs.rotation = inputs.rotation + np.array(
+                                [-40.0, 0], np.float32
+                            )
+                        elif k == "right":
+                            inputs.rotation = inputs.rotation + np.array(
+                                [40.0, 0], np.float32
+                            )
+                        elif k == "up":
+                            inputs.rotation = inputs.rotation + np.array(
+                                [0, -40.0], np.float32
+                            )
+                        elif k == "down":
+                            inputs.rotation = inputs.rotation + np.array(
+                                [0, 40.0], np.float32
+                            )
+                        elif k == "+":
+                            inputs.zoom = -20.0
+                        elif k == "-":
+                            inputs.zoom = 20.0
+                        elif k == "r":
+                            inputs.reset = True
+                        elif k == "p":
+                            save_req = True
+                    elif kind == "mouse":
+                        _, btn, x, y, press = ev
+                        drag_last = (x, y) if press and btn == 0 else None
+                    elif kind == "drag":
+                        _, x, y = ev
+                        if drag_last is not None:
+                            s = drag_scale(width)
+                            dx = (x - drag_last[0]) * s
+                            dy = (y - drag_last[1]) * 2 * s  # half-block rows
+                            inputs.rotation = inputs.rotation + np.array(
+                                [dx, dy], np.float32
+                            )
+                        drag_last = (x, y)
+                    elif kind == "scroll":
+                        inputs.zoom += 12.0 * ev[1]
+                if quit_req or pending.rgb_sum.is_ready():
+                    break
+                time.sleep(0.004)
+            if quit_req:
+                return
+
+            state = pending
+            img = np.asarray(to_image(state))
+            dt = time.perf_counter() - t0
+
+            if save_req:
+                os.makedirs("runs", exist_ok=True)
+                out = f"runs/viewer_{int(time.time())}.png"
+                write_png(out, img)
+                sys.stdout.write(f"\x1b[H\x1b[2Ksaved {out}\n")
+
+            # --- apply the inputs gathered during the render --------------
             cam, changed = apply_inputs(cam, inputs)
             inputs.movement = np.zeros(3, np.float32)
             inputs.clear()
@@ -166,24 +283,23 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
                 # accumulation invalidation (reference Renderer.cpp:255-257)
                 state = init_accum(width, height)
 
-            # --- one progressive step (the reference's per-vsync draw) ---
-            t0 = time.perf_counter()
-            state = accumulate(
-                state, scene, cam, width, height, spp_per_frame,
-                jnp.uint32(seed), cfg,
+            mrays = (
+                f" | {int(rays) / dt / 1e6:6.2f} Mrays/s" if rays is not None
+                else ""
             )
-            img = np.asarray(to_image(state))
-            dt = time.perf_counter() - t0
-
             sys.stdout.write("\x1b[H")  # home
             sys.stdout.write(_frame_to_ansi(img))
             sys.stdout.write(
-                f"\n\x1b[0m\x1b[2K{int(state.spp)} spp | {1.0 / max(dt, 1e-9):5.1f} fps | "
-                f"wasd/space/c move, arrows rotate, +/- zoom, r reset, p png, q quit"
+                f"\n\x1b[0m\x1b[2K{int(state.spp)} spp | "
+                f"{1.0 / max(dt, 1e-9):5.1f} fps{mrays} | "
+                f"drag rotate, wheel zoom, wasd/space/c move, +/- fov, "
+                f"r reset, p png, q quit"
             )
             sys.stdout.flush()
             frames += 1
     finally:
+        if mouse:
+            sys.stdout.write(_MOUSE_OFF)
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
         sys.stdout.write("\x1b[0m\n")
 
@@ -202,9 +318,14 @@ def main(argv=None) -> int:
                    help="exit after N frames (for testing)")
     p.add_argument("--fit-terminal", action="store_true",
                    help="track the terminal size (resize resets accumulation)")
+    p.add_argument("--integrator", choices=("wavefront", "scan"),
+                   default="wavefront")
+    p.add_argument("--no-mouse", action="store_true",
+                   help="skip xterm mouse reporting")
     a = p.parse_args(argv)
     run_viewer(a.scene, a.width, a.height, a.spp_per_frame, a.max_depth,
-               a.seed, a.max_frames, a.fit_terminal)
+               a.seed, a.max_frames, a.fit_terminal, a.integrator,
+               mouse=not a.no_mouse)
     return 0
 
 
