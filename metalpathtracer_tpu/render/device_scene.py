@@ -49,6 +49,7 @@ class DeviceScene:
     sph_center: jax.Array  # float32 (S, 3)
     sph_radius: jax.Array  # float32 (S,)
     sph_ids: jax.Array  # int32 (S,)
+    sph_mat_id: jax.Array  # int32 (S,) material-bank id per sphere
     # fused-bounce megakernel shading tables (render/pallas/bounce_mk.py)
     mk_tri_table: jax.Array  # float32 (Tmm, 32)
     mk_sph_table: jax.Array  # float32 (S, 32)
@@ -202,6 +203,16 @@ def upload_scene(
     mat_bank = np.concatenate(
         [mat_bank, np.zeros((pad_m, 16), np.float32)]
     ).astype(np.float32)
+    prim_mat_id = prim_mat_id.astype(np.int32)
+
+    # material ids ride inside the intersection row tables so the bounce
+    # pays zero id gathers (intersect_mm row col 13; sphere SoA)
+    refine = w["tri_refine"]
+    tri_real = w["tri_ids"] >= 0
+    refine[tri_real, 13] = prim_mat_id[w["tri_ids"][tri_real]]
+    sph_real = w["sph_ids"] >= 0
+    sph_mat_id = np.zeros(w["sph_ids"].shape[0], np.int32)
+    sph_mat_id[sph_real] = prim_mat_id[w["sph_ids"][sph_real]]
 
     return DeviceScene(
         prim_type=jax.numpy.asarray(packed.prim_type),
@@ -225,6 +236,7 @@ def upload_scene(
         sph_center=jax.numpy.asarray(w["sph_center"]),
         sph_radius=jax.numpy.asarray(w["sph_radius"]),
         sph_ids=jax.numpy.asarray(w["sph_ids"]),
+        sph_mat_id=jax.numpy.asarray(sph_mat_id),
         mk_tri_table=jax.numpy.asarray(shade["tri_table"]),
         mk_sph_table=jax.numpy.asarray(shade["sph_table"]),
         mk_sph_scalars=jax.numpy.asarray(sph_sc),

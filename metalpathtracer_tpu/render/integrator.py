@@ -100,7 +100,11 @@ MM_MAX_PRIMS = 262144
 
 
 def _trace_rays(scene, o, d, cfg, active=None):
-    """Closest hit + surface frame: (t, idx, normal, front_face)."""
+    """Closest hit + surface frame: (t, idx, normal, front_face, mat_id,
+    tile_passes). mat_id is the winner's material-bank id when the
+    intersector provides it fused (the mm path does — zero extra gathers),
+    else None; tile_passes counts the MXU (block, tile) passes this call
+    ran (MFU telemetry, 0 on non-mm paths)."""
     kind = cfg.intersector
     if kind == "auto":
         kind = "mm" if scene.mm_w.shape[1] // 4 <= MM_MAX_PRIMS else "bvh"
@@ -118,23 +122,27 @@ def _trace_rays(scene, o, d, cfg, active=None):
         raise ValueError(f"unknown intersector {cfg.intersector!r}")
     geom_row = scene.geom_table[jnp.maximum(idx, 0)]
     _, normal, front_face = surface_interaction_packed(geom_row, o, d, t)
-    return t, idx, normal, front_face
+    return t, idx, normal, front_face, None, jnp.zeros((), jnp.float32)
 
 
-def _fetch_material(scene, idx):
-    """Per-hit material row. With a small material bank this is a 4-byte id
-    gather + one-hot (N, M) @ (M, 16) on the MXU; the direct 64-byte row
-    gather is the fallback for exotic scenes with >128 distinct materials."""
-    midx = jnp.maximum(idx, 0)
+def _fetch_material(scene, idx, mat_id=None):
+    """Per-hit material row. With a small material bank this is a one-hot
+    (N, M) @ (M, 16) on the MXU fed by the intersector's fused mat_id (or a
+    4-byte id gather when the intersector didn't provide one); the direct
+    64-byte row gather is the fallback for exotic scenes with >128 distinct
+    materials."""
     m = scene.mat_bank.shape[0]
     if m <= 128:
-        mid = scene.prim_mat_id[midx]
+        mid = (
+            mat_id if mat_id is not None
+            else scene.prim_mat_id[jnp.maximum(idx, 0)]
+        )
         onehot = (mid[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :])
         return jnp.dot(
             onehot.astype(jnp.float32), scene.mat_bank,
             preferred_element_type=jnp.float32,
         )
-    return scene.mat_table[midx]
+    return scene.mat_table[jnp.maximum(idx, 0)]
 
 
 def _sphere_cone_pdf(center, radius, point):
@@ -253,10 +261,13 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_pdf,
     previous bounce also ran light sampling (0 otherwise) — the MIS
     counterweight that lets the light-sample and BSDF routes both count
     every emitter without double-counting. Returns
-    (o, d, light, throughput, still_active, prev_pdf, rays_counted)."""
+    (o, d, light, throughput, still_active, prev_pdf, rays_counted,
+    tile_passes)."""
     rays_counted = jnp.sum(active, dtype=jnp.int32)
 
-    t, idx, normal, front_face = _trace_rays(scene, o, d, cfg, active=active)
+    t, idx, normal, front_face, mat_id, tile_passes = _trace_rays(
+        scene, o, d, cfg, active=active
+    )
     miss = idx < 0
 
     # --- sky on miss (PathTracing.h:225-231) ---
@@ -265,7 +276,7 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_pdf,
 
     hit_live = active & ~miss
     point = o + t[:, None] * d
-    mat_row = _fetch_material(scene, idx)
+    mat_row = _fetch_material(scene, idx, mat_id)
     albedo = mat_row[:, 0:3]
     mat_type = mat_row[:, 3]
     emission = mat_row[:, 4:7]
@@ -308,7 +319,10 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_pdf,
         cos_s = vm.dot(normal, ldir)
         cand = hit_live & is_diffuse & (cos_s > 0.0) & lvalid & ~emissive
         s_o = point + (1e-3) * normal
-        st, sidx, _, _ = _trace_rays(scene, s_o, ldir, cfg, active=cand)
+        st, sidx, _, _, _, s_passes = _trace_rays(
+            scene, s_o, ldir, cfg, active=cand
+        )
+        tile_passes = tile_passes + s_passes
         rays_counted = rays_counted + jnp.sum(cand, dtype=jnp.int32)
         lit = cand & (sidx == lprim)
         # Lambertian BRDF albedo/pi x cos / pdf, weighted by the power
@@ -358,7 +372,7 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_pdf,
     d = vm.where3(hit_live, d_out, d)
     throughput = jnp.where(hit_live[:, None], new_tp, throughput)
     prev_pdf = jnp.where(hit_live, new_pdf, prev_pdf)
-    return o, d, light, throughput, hit_live, prev_pdf, rays_counted
+    return o, d, light, throughput, hit_live, prev_pdf, rays_counted, tile_passes
 
 
 def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CONFIG):
@@ -390,7 +404,7 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
 
     def body(state):
         bounce, o, d, light, throughput, active, prev_pdf, rays_traced = state
-        o, d, light, throughput, active, prev_pdf, counted = _bounce_step(
+        o, d, light, throughput, active, prev_pdf, counted, _ = _bounce_step(
             scene, o, d, light, throughput, active, prev_pdf,
             pixel_id, sample_id, bounce, seed, cfg,
         )
@@ -616,7 +630,8 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                     pool_size: int | None = None,
                     pixel_offset: int = 0,
                     n_pixels: int | None = None,
-                    sample_offset=0):
+                    sample_offset=0,
+                    return_stats: bool = False):
     """Persistent-wavefront path tracing with lane regeneration.
 
     The scan integrator (`trace`) keeps one lane per pixel-sample and wastes
@@ -640,38 +655,56 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     Returns (rgb_sum (n_pixels, 3), rays_traced) — divide by spp.
     """
     if _mk_applicable(scene, cfg):
-        return trace_wavefront_packed(
+        out = trace_wavefront_packed(
             scene, camera, width, height, spp, seed, cfg, pool_size,
             pixel_offset=pixel_offset, n_pixels=n_pixels,
             sample_offset=sample_offset,
         )
+        if return_stats:  # the packed kernel has no pass counter (yet)
+            return (*out, dict(mxu_tile_passes=jnp.zeros((), jnp.float32)))
+        return out
 
     from metalpathtracer_tpu.render.pipeline import generate_rays
 
     n_pix = n_pixels if n_pixels is not None else width * height
-    total = n_pix * spp
-    if total > (1 << 31):
+    if n_pix * spp > (1 << 31):
         raise ValueError(
-            f"{total} work items overflow the uint32 queue; render in "
+            f"{n_pix * spp} work items overflow the uint32 queue; render in "
             "chunks via render_image/sample_offset instead"
         )
     if pool_size is None:
-        pool_size = min(total, 1 << 18)
+        pool_size = min(n_pix * spp, 1 << 18)
     pool = int(pool_size)
 
-    def items_to_rays(item):
+    # samples-per-bank: when the image carries enough parallelism, one lane
+    # traces ALL spp samples of its pixel before banking, so the framebuffer
+    # scatter-add runs once per PIXEL, not once per sample — and its indices
+    # are structurally unique, unlocking XLA's parallel scatter path. (The
+    # fb scatter measured 176 ms/render = 23% of device time as a
+    # colliding-add over every lane every iteration.) Small images fall back
+    # to per-sample items to keep the pool busy.
+    spb = spp if n_pix >= pool else 1
+    chunks = spp // spb
+    total = n_pix * chunks  # work items = (pixel, sample-chunk) pairs
+    unique_bank = spb == spp  # item <-> pixel is 1:1 -> no add collisions
+
+    def ray_for(item, schunk):
         pixel = (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
-        sample = item // jnp.uint32(n_pix) + jnp.asarray(
-            sample_offset, jnp.uint32
+        sample = (
+            (item // jnp.uint32(n_pix)) * jnp.uint32(spb)
+            + schunk
+            + jnp.asarray(sample_offset, jnp.uint32)
         )
         o, d = generate_rays(camera, width, height, pixel, sample, seed)
         return pixel, sample, o, d
 
     item0 = jnp.arange(pool, dtype=jnp.uint32)
-    pixel, sample, o, d = items_to_rays(item0)
+    schunk0 = jnp.zeros((pool,), jnp.uint32)
+    pixel, sample, o, d = ray_for(item0, schunk0)
     state = dict(
-        pixel=pixel,
-        sample=sample,
+        item=item0,
+        schunk=schunk0,
+        acc=jnp.zeros((pool, 3), jnp.float32),
         o=o,
         d=d,
         bounce=jnp.zeros((pool,), jnp.int32),
@@ -682,7 +715,89 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         fb=jnp.zeros((n_pix, 3), jnp.float32),
         next_item=jnp.uint32(min(pool, total)),
         rays=jnp.zeros((), jnp.int32),
+        mxu_tile_passes=jnp.zeros((), jnp.float32),
     )
+
+    def advance(st):
+        """bounces_per_iter bounce steps + per-sample bookkeeping (shared by
+        the feed and drain loops). Returns the post-advance lane state plus
+        path_done/bank masks; the caller handles banking and the queue."""
+        alive = st["alive"]
+        o, d, light, tp = st["o"], st["d"], st["light"], st["tp"]
+        prev_pdf = st["prev_pdf"]
+        bounce = st["bounce"]
+        item, schunk = st["item"], st["schunk"]
+        pixel = (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
+        sample = (
+            (item // jnp.uint32(n_pix)) * jnp.uint32(spb)
+            + schunk
+            + jnp.asarray(sample_offset, jnp.uint32)
+        )
+        still = alive
+        counted = jnp.zeros((), jnp.int32)
+        passes = jnp.zeros((), jnp.float32)
+        # multiple bounces per iteration amortize the regen machinery
+        # (cumsum, scatter-add, raygen, ~20 masked updates) whose fixed op
+        # cost dominates when the pool is small
+        for k in range(max(1, cfg.bounces_per_iter)):
+            step_active = still & (bounce + k < cfg.max_depth)
+            o, d, light, tp, still, prev_pdf, c, tpass = _bounce_step(
+                scene, o, d, light, tp, step_active, prev_pdf,
+                pixel, sample, bounce + k, seed, cfg,
+            )
+            counted = counted + c
+            passes = passes + tpass
+        bounce_next = bounce + max(1, cfg.bounces_per_iter)
+        survivors = still & (bounce_next < cfg.max_depth)
+        path_done = alive & ~survivors
+
+        # per-sample flush into the lane-local accumulator (the reference's
+        # per-sample [0,1] clamp applies here, PathTracing.h:258)
+        ps = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
+        acc = st["acc"] + jnp.where(path_done[:, None], ps, 0.0)
+        light = jnp.where(path_done[:, None], 0.0, light)
+
+        schunk_next = schunk + path_done.astype(jnp.uint32)
+        more = path_done & (schunk_next < spb)  # same pixel, next sample
+        bank = path_done & ~more  # chunk finished -> bank to framebuffer
+
+        st = dict(
+            st, o=o, d=d, light=light, tp=tp, prev_pdf=prev_pdf, acc=acc,
+            bounce=bounce_next,
+            schunk=jnp.where(path_done, jnp.where(bank, 0, schunk_next),
+                             schunk),
+            alive=survivors,
+            rays=st["rays"] + counted,
+            mxu_tile_passes=st["mxu_tile_passes"] + passes,
+        )
+        return st, path_done, more, bank
+
+    def bank_to_fb(fb, st, bank):
+        """Scatter finished pixels' accumulated radiance. Non-banking lanes
+        get an out-of-range index and are dropped; with spb == spp the
+        banked indices are distinct pixels, so the scatter is collision-free
+        and XLA needs no serializing."""
+        idx = jnp.where(bank, st["item"] % jnp.uint32(n_pix),
+                        jnp.uint32(n_pix))
+        fb = fb.at[idx].add(
+            st["acc"], mode="drop", unique_indices=unique_bank
+        )
+        return fb, dict(
+            st, acc=jnp.where(bank[:, None], 0.0, st["acc"])
+        )
+
+    def restart_lanes(st, restart):
+        """Fresh primary rays for lanes whose (item, schunk) changed."""
+        _, _, no, nd = ray_for(st["item"], st["schunk"])
+        return dict(
+            st,
+            o=vm.where3(restart, no, st["o"]),
+            d=vm.where3(restart, nd, st["d"]),
+            tp=jnp.where(restart[:, None], 1.0, st["tp"]),
+            bounce=jnp.where(restart, 0, st["bounce"]),
+            prev_pdf=jnp.where(restart, 0.0, st["prev_pdf"]),
+            alive=st["alive"] | restart,
+        )
 
     def cond(st):
         # feed phase only: once the work queue is exhausted the drain phase
@@ -693,54 +808,24 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         return st["next_item"] < jnp.uint32(total)
 
     def body(st):
-        alive = st["alive"]
-        # multiple bounces per iteration amortize the regen machinery
-        # (cumsum, scatter-add, raygen, ~20 masked updates) whose fixed op
-        # cost dominates when the pool is small
-        o, d, light, tp = st["o"], st["d"], st["light"], st["tp"]
-        prev_pdf = st["prev_pdf"]
-        bounce = st["bounce"]
-        still = alive
-        counted = jnp.zeros((), jnp.int32)
-        for k in range(max(1, cfg.bounces_per_iter)):
-            step_active = still & (bounce + k < cfg.max_depth)
-            o, d, light, tp, still, prev_pdf, c = _bounce_step(
-                scene, o, d, light, tp, step_active, prev_pdf,
-                st["pixel"], st["sample"], bounce + k, seed, cfg,
-            )
-            counted = counted + c
-        bounce_next = bounce + max(1, cfg.bounces_per_iter)
-        survivors = still & (bounce_next < cfg.max_depth)
-        term = alive & ~survivors
+        st, path_done, more, bank = advance(st)
+        fb, st = bank_to_fb(st.pop("fb"), st, bank)
 
-        # flush terminated paths into the framebuffer
-        flushed = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
-        fb = st["fb"].at[st["pixel"] - jnp.uint32(pixel_offset)].add(
-            jnp.where(term[:, None], flushed, 0.0)
-        )
-
-        # regenerate: dense position among terminated lanes → next work item
-        slot = jnp.cumsum(term.astype(jnp.uint32)) - 1
+        # queue pop: dense position among banked lanes -> next work item
+        slot = jnp.cumsum(bank.astype(jnp.uint32)) - 1
         new_item = st["next_item"] + slot
-        regen = term & (new_item < total)
-        npix, nsamp, no, nd = items_to_rays(jnp.where(regen, new_item, 0))
-
-        pixel = jnp.where(regen, npix, st["pixel"])
-        sample = jnp.where(regen, nsamp, st["sample"])
-        o = vm.where3(regen, no, o)
-        d = vm.where3(regen, nd, d)
-        light = jnp.where(regen[:, None], 0.0, light)
-        tp = jnp.where(regen[:, None], 1.0, tp)
-        bounce = jnp.where(regen, 0, bounce_next)
-        prev_pdf = jnp.where(regen, 0.0, prev_pdf)
-        alive = survivors | regen
+        regen = bank & (new_item < total)
+        st["item"] = jnp.where(regen, new_item, st["item"])
+        st = restart_lanes(st, more | regen)
         next_item = jnp.minimum(
-            st["next_item"] + jnp.sum(term, dtype=jnp.uint32), jnp.uint32(total)
+            st["next_item"] + jnp.sum(bank, dtype=jnp.uint32),
+            jnp.uint32(total),
         )
 
         if cfg.sort_lanes:
             # coherence key: dead lanes last; live lanes grouped by direction
             # octant then coarse origin cell (scene-root-AABB morton)
+            o, d, alive = st["o"], st["d"], st["alive"]
             span = jnp.maximum(scene.node_hi[0] - scene.node_lo[0], 1e-6)
             q = jnp.clip(
                 (o - scene.node_lo[0]) / span * 15.0, 0.0, 15.0
@@ -758,74 +843,52 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 | q[:, 2]
             )
             perm = jnp.argsort(key)
-            pixel = pixel[perm]
-            sample = sample[perm]
-            o = o[perm]
-            d = d[perm]
-            bounce = bounce[perm]
-            light = light[perm]
-            tp = tp[perm]
-            prev_pdf = prev_pdf[perm]
-            alive = alive[perm]
+            st = {
+                k: (v if v.ndim == 0 else v[perm]) for k, v in st.items()
+                if k not in ("next_item", "rays")
+            } | {"next_item": st["next_item"], "rays": st["rays"]}
 
-        return dict(
-            pixel=pixel, sample=sample, o=o, d=d, bounce=bounce, light=light,
-            tp=tp, prev_pdf=prev_pdf, alive=alive, fb=fb,
-            next_item=next_item, rays=st["rays"] + counted,
-        )
+        return dict(st, fb=fb, next_item=next_item)
 
     state = jax.lax.while_loop(cond, body, state)
 
     # ---- drain phase: queue exhausted; halve the pool stage by stage ----
-    fb = state["fb"]
-    drain = dict(
-        pixel=state["pixel"], sample=state["sample"], o=state["o"],
-        d=state["d"], bounce=state["bounce"], light=state["light"],
-        tp=state["tp"], prev_pdf=state["prev_pdf"], alive=state["alive"],
-        rays=state["rays"],
-    )
-    # phase-1 already flushed its terminated lanes; zero their light so the
+    # (a terminated lane can no longer be refilled; mid-chunk lanes still
+    # restart on their remaining samples)
+    fb = state.pop("fb")
+    state.pop("next_item")
+    drain = state
+    # phase-1 banked its finished lanes already; zero their residue so the
     # stage flushes below stay idempotent
-    drain["light"] = jnp.where(drain["alive"][:, None], drain["light"], 0.0)
+    dead0 = ~drain["alive"]
+    drain["light"] = jnp.where(dead0[:, None], 0.0, drain["light"])
+    drain["acc"] = jnp.where(dead0[:, None], 0.0, drain["acc"])
 
     def drain_stage(st, stop_below: int):
-        """Advance bounces (no regen) until live lanes fit `stop_below`."""
+        """Advance bounces (no queue) until live lanes fit `stop_below`."""
 
         def dcond(s):
             return jnp.sum(s["alive"], dtype=jnp.int32) > stop_below
 
         def dbody(s):
-            o, d, light, tp = s["o"], s["d"], s["light"], s["tp"]
-            prev_pdf, bounce, still = s["prev_pdf"], s["bounce"], s["alive"]
-            counted = jnp.zeros((), jnp.int32)
-            for k in range(max(1, cfg.bounces_per_iter)):
-                step_active = still & (bounce + k < cfg.max_depth)
-                o, d, light, tp, still, prev_pdf, c = _bounce_step(
-                    scene, o, d, light, tp, step_active, prev_pdf,
-                    s["pixel"], s["sample"], bounce + k, seed, cfg,
-                )
-                counted = counted + c
-            bounce = bounce + max(1, cfg.bounces_per_iter)
-            return dict(
-                pixel=s["pixel"], sample=s["sample"], o=o, d=d, bounce=bounce,
-                light=light, tp=tp, prev_pdf=prev_pdf,
-                alive=still & (bounce < cfg.max_depth),
-                rays=s["rays"] + counted,
-            )
+            s, path_done, more, bank = advance(s)
+            return restart_lanes(s, more)
 
         return jax.lax.while_loop(dcond, dbody, st)
 
     def flush(fb, st):
-        """Scatter dead lanes' radiance into the framebuffer, then zero it
-        (so a lane flushed at stage k adds nothing at stage k+1)."""
-        dead = ~st["alive"]
-        add = jnp.where(dead[:, None], st["light"], 0.0)
-        if cfg.clamp_radiance:
-            add = jnp.clip(add, 0.0, 1.0)
-        fb = fb.at[st["pixel"] - jnp.uint32(pixel_offset)].add(add)
-        return fb, dict(
-            st, light=jnp.where(dead[:, None], 0.0, st["light"])
+        """Bank dead lanes' accumulated radiance, then zero it (so a lane
+        flushed at stage k adds nothing at stage k+1). Lanes whose item was
+        never assigned (pool > total) are excluded — their item id aliases
+        a real pixel modulo n_pix, which would break the unique-indices
+        contract of the scatter."""
+        dead = ~st["alive"] & (st["item"] < jnp.uint32(total))
+        idx = jnp.where(dead, st["item"] % jnp.uint32(n_pix),
+                        jnp.uint32(n_pix))
+        fb = fb.at[idx].add(
+            st["acc"], mode="drop", unique_indices=unique_bank
         )
+        return fb, dict(st, acc=jnp.where(dead[:, None], 0.0, st["acc"]))
 
     width_now = pool
     min_w = min(pool, 1024)  # one intersection block; narrower just pads
@@ -841,4 +904,8 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         width_now = half
     drain = drain_stage(drain, 0)
     fb, drain = flush(fb, drain)
+    if return_stats:
+        return fb, drain["rays"], dict(
+            mxu_tile_passes=drain["mxu_tile_passes"]
+        )
     return fb, drain["rays"]

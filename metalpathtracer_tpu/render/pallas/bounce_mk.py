@@ -174,11 +174,13 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
+    zero = jnp.zeros((b,), jnp.float32)
     x = jnp.stack(
         [dx, dy, dz, mx, my, mz, ox, oy, oz,
          ox * dx + oy * dy + oz * dz,
          ox * ox + oy * oy + oz * oz,
-         jnp.ones((b,), jnp.float32)],
+         jnp.ones((b,), jnp.float32),
+         zero, zero, zero, zero],  # NUM_FEATURES sublane padding
         axis=1,
     )
     lr, lg, lb = sf[:, F_LR], sf[:, F_LG], sf[:, F_LB]

@@ -49,7 +49,14 @@ from metalpathtracer_tpu.scene.types import PRIM_SPHERE, PRIM_TRIANGLE
 
 T_MIN = 1e-4
 TRI_PARALLEL_EPS = 1e-5
-NUM_FEATURES = 12
+# 12 live ray features padded to 16: Mosaic requires HBM->VMEM DMA slices
+# (the streaming kernel's weight tiles) to be 8-sublane aligned, and a
+# 12-row slice of a tiled memref fails to compile ("Slice shape along
+# dimension 0 must be aligned to tiling (8), but is 12"). The extra 4
+# zero rows/columns are free in the matmul (K pads to 128 on the MXU
+# regardless).
+NUM_FEATURES = 16
+_LIVE_FEATURES = 12
 # rays per grid cell / triangles per inner tile (bigger tiles amortize the
 # ~1.7us per-loop-iteration overhead measured on v5e). Env overrides exist
 # for perf sweeps only — production uses the defaults.
@@ -112,11 +119,12 @@ def build_weights(prim_type, p0, p1, p2):
     n = np.cross(e1, e2)
     z1 = np.zeros((t, 1), np.float32)
     z3 = np.zeros((t, 3), np.float32)
-    wa = np.concatenate([-n, z3, z3, z1, z1, z1], axis=1)
-    wu = np.concatenate([-np.cross(e2, v0), e2, z3, z1, z1, z1], axis=1)
-    wv = np.concatenate([-np.cross(v0, e1), -e1, z3, z1, z1, z1], axis=1)
+    zp = np.zeros((t, NUM_FEATURES - _LIVE_FEATURES), np.float32)
+    wa = np.concatenate([-n, z3, z3, z1, z1, z1, zp], axis=1)
+    wu = np.concatenate([-np.cross(e2, v0), e2, z3, z1, z1, z1, zp], axis=1)
+    wv = np.concatenate([-np.cross(v0, e1), -e1, z3, z1, z1, z1, zp], axis=1)
     wt = np.concatenate(
-        [z3, z3, n, z1, z1, -np.sum(v0 * n, 1, keepdims=True)], axis=1
+        [z3, z3, n, z1, z1, -np.sum(v0 * n, 1, keepdims=True), zp], axis=1
     )
 
     def padw(w):
@@ -141,14 +149,19 @@ def build_weights(prim_type, p0, p1, p2):
         [tri_sel.astype(np.int32), np.full(pad_t, -1, np.int32)]
     )
 
-    # packed refinement table in KERNEL COLUMN order: [v0, e1, e2, n, pad4] —
-    # the winner refine + normal costs ONE (N,16) gather instead of three
-    # (N,3) vertex gathers through the id indirection
+    # packed refinement table in KERNEL COLUMN order:
+    # [v0, e1, e2, n, prim_id, mat_id, pad2] — the winner's refine data,
+    # normal, ORIGINAL PRIMITIVE INDEX and MATERIAL BANK ID all cost ONE
+    # (N,16) row gather. Separate gathers for ids measured 31 ms/render
+    # each in the in-situ HLO profile (scalar-gather tax, ~9 ns/row); ids
+    # ride as exact small-integer f32 (|id| < 2^24). mat_id (col 13) is
+    # filled by upload_scene once the material bank exists.
     refine = np.zeros((t + pad_t, 16), np.float32)
     refine[:t, 0:3] = v0
     refine[:t, 3:6] = e1
     refine[:t, 6:9] = e2
     refine[:t, 9:12] = n
+    refine[:, 12] = tri_ids.astype(np.float32)
 
     # per-tile AABBs over the padded triangle order; padding tiles get empty
     # boxes (lo=+inf, hi=-inf) that fail every slab test
@@ -190,12 +203,14 @@ def build_weights(prim_type, p0, p1, p2):
 
 
 def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """X = [d, o x d, o, o.d, |o|^2, 1] — (N, 12) float32."""
+    """X = [d, o x d, o, o.d, |o|^2, 1, 0*4] — (N, 16) float32 (zero-padded
+    to the 8-sublane-aligned NUM_FEATURES; see the constant's comment)."""
     m = jnp.cross(o, d)
     od = jnp.sum(o * d, axis=-1, keepdims=True)
     oo = jnp.sum(o * o, axis=-1, keepdims=True)
     ones = jnp.ones_like(od)
-    return jnp.concatenate([d, m, o, od, oo, ones], axis=-1)
+    pad = jnp.zeros(o.shape[:-1] + (NUM_FEATURES - _LIVE_FEATURES,), o.dtype)
+    return jnp.concatenate([d, m, o, od, oo, ones, pad], axis=-1)
 
 
 def _mm_kernel(lists_ref, counts_ref, x_ref, w_ref, t_ref, idx_ref,
@@ -435,7 +450,12 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
         ),
         interpret=interpret,
     )(lists, counts, x, w_all)
-    return t.reshape(n), idx.reshape(n)
+    # passing (block, tile) pairs this call — the MFU numerator's basis
+    # (each passing tile runs BLOCK_R x TILE_P Moller-Trumbore tests on the
+    # MXU); counts is already here, so the telemetry is free. f32 so long
+    # renders can't overflow int32 when callers accumulate.
+    tile_passes = jnp.sum(counts).astype(jnp.float32)
+    return t.reshape(n), idx.reshape(n), tile_passes
 
 
 def _mt_exact(o, d, v0, e1, e2, t_min):
@@ -463,7 +483,12 @@ def _mt_exact(o, d, v0, e1, e2, t_min):
 def _sphere_hit_exact(scene, o, d, t_min):
     """Exact dense sphere pass: (N, S) oracle quadratic (oc = o - c first, no
     cancellation). S is small — the mesh carries the primitive count.
-    Returns (t, idx, slot) — slot indexes the sphere SoA for normal lookup."""
+    Returns (t, idx, center) for normal computation.
+
+    The winner's (t, id, center) come out of masked REDUCES over the tiny
+    (N, S) field, never per-lane gathers: take_along_axis on the lane axis
+    measured 36 ms/render (11 ns/ray) in the in-situ HLO profile — scalar
+    gathers are the split path's real tax on this backend."""
     from metalpathtracer_tpu.render.intersect import ray_sphere
 
     t = ray_sphere(
@@ -473,29 +498,37 @@ def _sphere_hit_exact(scene, o, d, t_min):
         scene.sph_radius[None, :],
         t_min,
     )  # (N, S); padding has r=0 → disc <= 0 → inf
-    j = jnp.argmin(t, axis=1)
-    t_best = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
-    idx = scene.sph_ids[j]
+    t_best = jnp.min(t, axis=1)
+    win = t == t_best[:, None]  # >=1 True per row; ties pick the lowest slot
+    first = jnp.cumsum(win.astype(jnp.int32), axis=1) == 1
+    win = win & first
+    wf = win.astype(jnp.float32)
+    idx = jnp.sum(
+        jnp.where(win, scene.sph_ids[None, :], 0), axis=1, dtype=jnp.int32
+    )
     idx = jnp.where(jnp.isinf(t_best), -1, idx)
-    return t_best, idx, j
+    center = wf @ scene.sph_center  # (N, S) @ (S, 3)
+    mat_id = jnp.sum(
+        jnp.where(win, scene.sph_mat_id[None, :], 0), axis=1, dtype=jnp.int32
+    )
+    return t_best, idx, center, mat_id
 
 
 def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
     """Closest hit: MXU triangle kernel + exact sphere pass, merged.
 
-    Returns (t, idx, normal, front_face) — the surface frame is computed
-    here from data already gathered for refinement, so the integrator pays
-    NO geometry gather. idx is -1 on miss (normal is garbage there; callers
-    mask). `active` (N,) bool lets the kernel skip ray blocks whose lanes
-    have all terminated (wavefront early-out).
+    Returns (t, idx, normal, front_face, mat_id, tile_passes) — the
+    surface frame AND
+    the winner's material-bank id come out of the same single (N,16) row
+    gather (plus masked reduces for spheres), so the integrator pays no
+    further geometry or id gathers. idx is -1 on miss (normal/mat_id are
+    garbage there; callers mask). `active` (N,) bool lets the kernel skip
+    ray blocks whose lanes have all terminated (wavefront early-out).
     """
     from metalpathtracer_tpu.core import vecmath as vm
-    from metalpathtracer_tpu.render.intersect import ray_triangle
 
     n = o.shape[0]
-    t_s, i_s, slot = _sphere_hit_exact(scene, o, d, t_min)
-    # sphere normal from the tiny SoA (S rows, not P)
-    c = scene.sph_center[slot]
+    t_s, i_s, c, m_s = _sphere_hit_exact(scene, o, d, t_min)
     sph_point = o + t_s[:, None] * d
     sph_n = vm.normalize(sph_point - c)
 
@@ -510,19 +543,20 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
             x = jnp.concatenate([x, jnp.zeros((pad, NUM_FEATURES), jnp.float32)])
             act = jnp.concatenate([act, jnp.zeros((pad, 1), jnp.float32)])
         interpret = jax.default_backend() == "cpu"
-        t_t, col = _tri_hit_mm_padded(
+        t_t, col, tile_passes = _tri_hit_mm_padded(
             x, act, scene.mm_w, scene.mm_tile_box, float(t_min), interpret,
         )
         t_t, col = t_t[:n], col[:n]
         ccol = jnp.maximum(col, 0)
-        i_t = scene.mm_tri_ids[ccol]
 
-        # re-refine the winner with the sequential formula from ONE packed
-        # (N,16) row gather: [v0, e1, e2, n]
+        # ONE packed (N,16) row gather serves refine, normal, prim id and
+        # material id: [v0, e1, e2, n, prim_id, mat_id]
         row = scene.mm_refine[ccol]
         v0 = row[:, 0:3]
         e1 = row[:, 3:6]
         e2 = row[:, 6:9]
+        i_t = row[:, 12].astype(jnp.int32)
+        m_t = row[:, 13].astype(jnp.int32)
         t_exact = _mt_exact(o, d, v0, e1, e2, t_min)
         # If the exact re-refine rejects the kernel's approximate winner,
         # keep the approximate t (it passed the same acceptance tests in
@@ -538,18 +572,21 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
     else:
         t_t = jnp.full((n,), jnp.inf)
         i_t = jnp.full((n,), -1, jnp.int32)
+        m_t = jnp.zeros((n,), jnp.int32)
         tri_n = jnp.zeros_like(o)
+        tile_passes = jnp.zeros((), jnp.float32)
 
     tri_wins = t_t < t_s
     t = jnp.where(tri_wins, t_t, t_s)
     idx = jnp.where(tri_wins, i_t, i_s)
+    mat_id = jnp.where(tri_wins, m_t, m_s)
     normal = vm.where3(tri_wins, tri_n, sph_n)
     front_face = vm.dot(normal, d) < 0.0
     normal = vm.where3(front_face, normal, -normal)
-    return t, idx, normal, front_face
+    return t, idx, normal, front_face, mat_id, tile_passes
 
 
 def closest_hit_mm(scene, o, d, t_min=T_MIN, active=None):
     """(t, idx)-only contract, matching `traverse.closest_hit_bvh`."""
-    t, idx, _, _ = closest_hit_mm_full(scene, o, d, t_min, active)
+    t, idx = closest_hit_mm_full(scene, o, d, t_min, active)[:2]
     return t, idx
