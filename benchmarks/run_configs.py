@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true", help="~16x fewer spp")
     ap.add_argument("--configs", default="1,2,3,4,5")
     ap.add_argument("--out-dir", default=os.path.join(REPO, "runs"))
+    ap.add_argument("--scale", type=int, default=1,
+                    help="divide resolutions by N (CPU smoke runs)")
     args = ap.parse_args()
     wanted = {int(c) for c in args.configs.split(",")}
 
@@ -68,15 +70,33 @@ def main() -> int:
     results = []
     for idx in sorted(wanted):
         c = configs[idx]
+        if args.scale > 1:
+            c["w"] = max(64, c["w"] // args.scale)
+            # keep height divisible by an 8-way tile mesh
+            c["h"] = max(32, -(-(c["h"] // args.scale) // 8) * 8)
         scene = upload_scene(load_scene_xml(scene_path(c["scene"])))
         t0 = time.perf_counter()
         if c.get("shard") and jax.device_count() > 1:
-            from metalpathtracer_tpu.parallel import render_image_sharded
-
-            img, rays = render_image_sharded(
-                scene, c["cam"], c["w"], c["h"], c["spp"], seed=idx,
-                cfg=c["cfg"],
+            # config 5 verbatim: tile-sharded PROGRESSIVE accumulation —
+            # wavefront steps into a mesh-sharded AccumState, then resolve
+            from metalpathtracer_tpu.parallel import (
+                accumulate_sharded,
+                init_accum_sharded,
+                make_mesh,
             )
+
+            mesh = make_mesh()
+            state = init_accum_sharded(c["w"], c["h"], mesh)
+            rays = 0
+            step = max(1, c["spp"] // 4)
+            while int(state.spp) < c["spp"]:
+                n = min(step, c["spp"] - int(state.spp))
+                state, r = accumulate_sharded(
+                    state, scene, c["cam"], n_samples=n, seed=idx,
+                    cfg=c["cfg"], mesh=mesh,
+                )
+                rays += r
+            img = state.rgb_sum / c["spp"]
         else:
             img, rays = render_image_wavefront(
                 scene, c["cam"], c["w"], c["h"], c["spp"], seed=idx,

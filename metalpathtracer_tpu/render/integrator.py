@@ -93,10 +93,14 @@ REFERENCE_CONFIG = RenderConfig(
 )
 
 
-# Up to this many triangles the tile-culled MXU intersector wins (weights
-# stream from HBM above ~24k tris); beyond this even culled brute force
-# loses to traversal, so fall back to the BVH path.
-MM_MAX_PRIMS = 262144
+# Up to this many triangles "auto" routes to the tile-culled MXU
+# intersector (weights stay VMEM-resident to ~16k tris and stream from HBM
+# beyond — TPU-validated at 1M tris, benchmarks/large_scene.py). The jnp
+# lockstep BVH traversal stays available via intersector="bvh" but is
+# gather-bound on this backend and has crashed the TPU worker at scale
+# (CLAUDE.md), so the matmul path is the production route as far as its
+# weight tables sensibly fit HBM (16 x 4T f32 = 1 GB at this cap).
+MM_MAX_PRIMS = 4 * 1024 * 1024
 
 
 def _trace_rays(scene, o, d, cfg, active=None):
@@ -138,9 +142,12 @@ def _fetch_material(scene, idx, mat_id=None):
             else scene.prim_mat_id[jnp.maximum(idx, 0)]
         )
         onehot = (mid[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :])
+        # HIGHEST: the default TPU f32 matmul truncates operands to bf16,
+        # i.e. it would hand back bf16-rounded material constants
         return jnp.dot(
             onehot.astype(jnp.float32), scene.mat_bank,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     return scene.mat_table[jnp.maximum(idx, 0)]
 

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from metalpathtracer_tpu.render.pallas.intersect_mm import (
     BLOCK_R,
+    MM_PRECISION,
     NUM_FEATURES,
     TILE_P,
     TRI_PARALLEL_EPS,
@@ -199,7 +200,8 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
         best_t, best_col = carry
         i = lists_ref[cell, j]
         s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
-        block = jnp.dot(x, w_ref[:, s4], preferred_element_type=jnp.float32)
+        block = jnp.dot(x, w_ref[:, s4], preferred_element_type=jnp.float32,
+                        precision=MM_PRECISION)
         sa = block[:, 0:TILE_P]
         su = block[:, TILE_P : 2 * TILE_P]
         sv = block[:, 2 * TILE_P : 3 * TILE_P]
@@ -267,7 +269,8 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
         local = best_col - i * TILE_P
         oh = ((col == local[:, None]) & tri_cand[:, None]).astype(jnp.float32)
         rows = tri_tbl_ref[pl.ds(i * TILE_P, TILE_P), :]
-        return acc + jnp.dot(oh, rows, preferred_element_type=jnp.float32)
+        return acc + jnp.dot(oh, rows, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
     acc_tri = jax.lax.fori_loop(
         0, count, fetch_body, jnp.zeros((b, TBL_COLS), jnp.float32)
@@ -303,7 +306,9 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
     s_pad = sph_tbl_ref.shape[0]
     scol = jax.lax.broadcasted_iota(jnp.int32, (b, s_pad), 1)
     soh = ((scol == best_slot[:, None]) & (~tri_wins)[:, None]).astype(jnp.float32)
-    acc_sph = jnp.dot(soh, sph_tbl_ref[:, :], preferred_element_type=jnp.float32)
+    acc_sph = jnp.dot(soh, sph_tbl_ref[:, :],
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     acc = jnp.where(tri_wins[:, None], acc_tri, acc_sph)
 
     t = jnp.where(tri_wins, t_tri_exact, t_sph)

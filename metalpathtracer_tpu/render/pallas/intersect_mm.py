@@ -61,10 +61,21 @@ _LIVE_FEATURES = 12
 # ~1.7us per-loop-iteration overhead measured on v5e). Env overrides exist
 # for perf sweeps only — production uses the defaults.
 BLOCK_R = int(os.environ.get("MPT_BLOCK_R", "1024"))
-TILE_P = int(os.environ.get("MPT_TILE_P", "512"))
+TILE_P = int(os.environ.get("MPT_TILE_P", "256"))
 # Mosaic's default scoped-VMEM budget is 16 MB, but a v5e core has 128 MiB
 # of physical VMEM; raising the cap lets the det tile use wide ray blocks.
 VMEM_LIMIT_BYTES = int(os.environ.get("MPT_VMEM_LIMIT_MB", "100")) * (1 << 20)
+# MXU precision for the determinant matmuls. Mosaic's DEFAULT f32 matmul
+# runs at reduced (bf16-class) precision and silently flipped intersection
+# accept/reject decisions on real hardware (caught by the brute-force
+# oracle: 2.5% of bunny pixels, 55% of a 100k random cloud, while CPU
+# interpret mode — exact f32 — masked it in tests). HIGHEST restores
+# bit-level agreement with the oracle.
+MM_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("MPT_MM_PRECISION", "highest")]
 
 _INF = float("inf")  # plain float: jnp scalars become captured consts in kernels
 
@@ -231,7 +242,8 @@ def _mm_kernel(lists_ref, counts_ref, x_ref, w_ref, t_ref, idx_ref,
         i = lists_ref[cell, j]
         # one fused (B,12)@(12,4T) matmul: [a | su | sv | st]
         s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
-        block = jnp.dot(x, w_ref[:, s4], preferred_element_type=jnp.float32)
+        block = jnp.dot(x, w_ref[:, s4], preferred_element_type=jnp.float32,
+                        precision=MM_PRECISION)
         sa = block[:, 0:TILE_P]
         su = block[:, TILE_P : 2 * TILE_P]
         sv = block[:, 2 * TILE_P : 3 * TILE_P]
@@ -303,15 +315,25 @@ def _mm_kernel_stream(lists_ref, counts_ref, x_ref, w_hbm_ref, t_ref, idx_ref,
         def tile_body(j, _):
             slot = jax.lax.rem(j, 2)
 
-            @pl.when(j + 1 < count)
-            def _():
-                dma_for(j + 1, jax.lax.rem(j + 1, 2)).start()
+            # Prefetch the next tile UNCONDITIONALLY with a clamped index:
+            # `pl.when` inside a fori body executes BOTH paths on this
+            # backend (docs/PERFORMANCE.md Mosaic gotchas), so a guarded
+            # start here fired a spurious, never-waited DMA on the last
+            # iteration — the leaked semaphore signal desynchronized the
+            # double buffer on later grid cells and corrupted hits (caught
+            # by the brute-force oracle at 100k tris). The clamped
+            # duplicate fetch of the last tile is waited after the loop.
+            dma_for(
+                jnp.minimum(j + 1, count - 1), jax.lax.rem(j + 1, 2)
+            ).start()
 
             dma_for(j, slot).wait()
             i = lists_ref[cell, j]
             best_t = bt_ref[:, :].reshape(-1)
             best_i = bi_ref[:, :].reshape(-1)
-            block = jnp.dot(x, w_buf[slot], preferred_element_type=jnp.float32)
+            block = jnp.dot(x, w_buf[slot],
+                            preferred_element_type=jnp.float32,
+                            precision=MM_PRECISION)
             sa = block[:, 0:TILE_P]
             su = block[:, TILE_P : 2 * TILE_P]
             sv = block[:, 2 * TILE_P : 3 * TILE_P]
@@ -343,6 +365,9 @@ def _mm_kernel_stream(lists_ref, counts_ref, x_ref, w_hbm_ref, t_ref, idx_ref,
             return 0
 
         jax.lax.fori_loop(0, count, tile_body, 0)
+        # drain the final (duplicate) prefetch so every started DMA is
+        # waited exactly once per grid cell
+        dma_for(count - 1, jax.lax.rem(count, 2)).wait()
 
     t_ref[:, :] = bt_ref[:, :]
     idx_ref[:, :] = bi_ref[:, :]
@@ -507,7 +532,9 @@ def _sphere_hit_exact(scene, o, d, t_min):
         jnp.where(win, scene.sph_ids[None, :], 0), axis=1, dtype=jnp.int32
     )
     idx = jnp.where(jnp.isinf(t_best), -1, idx)
-    center = wf @ scene.sph_center  # (N, S) @ (S, 3)
+    center = jnp.dot(
+        wf, scene.sph_center, precision=jax.lax.Precision.HIGHEST
+    )  # (N, S) @ (S, 3); HIGHEST: default TPU matmul bf16-rounds centers
     mat_id = jnp.sum(
         jnp.where(win, scene.sph_mat_id[None, :], 0), axis=1, dtype=jnp.int32
     )
