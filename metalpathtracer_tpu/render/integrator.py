@@ -37,7 +37,6 @@ from metalpathtracer_tpu.render.intersect import (
     surface_interaction_packed,
 )
 from metalpathtracer_tpu.render.traverse import closest_hit_bvh
-from metalpathtracer_tpu.scene.types import PRIM_SPHERE
 
 
 @dataclasses.dataclass(frozen=True)

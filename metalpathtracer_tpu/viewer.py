@@ -99,24 +99,50 @@ def _read_events(timeout: float = 0.0) -> list[tuple]:
     return events
 
 
+# one half-block cell, zero-padded fixed width so digit positions are
+# static: the whole frame becomes a numpy byte-buffer fill (the per-pixel
+# f-string loop cost ~300 ms/frame at 256x144; np.char ops still ~80 ms;
+# this is ~2 ms)
+_CELL = "\x1b[38;2;000;000;000m\x1b[48;2;000;000;000m▀".encode()
+_ROW_SUFFIX = "\x1b[0m\n".encode()
+
+
+def _cell_digit_positions() -> list[int]:
+    pos, i = [], 0
+    while True:
+        i = _CELL.find(b"000", i)
+        if i < 0:
+            return pos
+        pos.append(i)
+        i += 3
+
+
+_DIGIT_POS = _cell_digit_positions()  # 6 triplets: fg r,g,b then bg r,g,b
+assert len(_DIGIT_POS) == 6
+
+
 def _frame_to_ansi(img: np.ndarray) -> str:
     """(H, W, 3) linear [0,1] → truecolor half-block string (H/2 rows)."""
     from metalpathtracer_tpu.io.png import linear_to_srgb
 
-    rgb = (linear_to_srgb(img) * 255 + 0.5).astype(np.uint8)
+    rgb = (linear_to_srgb(img) * 255 + 0.5).astype(np.uint16)
     h = rgb.shape[0] & ~1
-    out = []
-    for y in range(0, h, 2):
-        row = []
-        for x in range(rgb.shape[1]):
-            t = rgb[y, x]
-            b = rgb[y + 1, x]
-            row.append(
-                f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m"
-                f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
-            )
-        out.append("".join(row) + "\x1b[0m")
-    return "\n".join(out)
+    w = rgb.shape[1]
+    vals = np.concatenate([rgb[0:h:2], rgb[1:h:2]], axis=-1)  # (h/2, w, 6)
+
+    buf = np.tile(
+        np.frombuffer(_CELL, np.uint8), (h // 2, w, 1)
+    )  # (h/2, w, cell_len)
+    for k, p in enumerate(_DIGIT_POS):
+        v = vals[..., k]
+        buf[..., p] = v // 100 + 48
+        buf[..., p + 1] = (v // 10) % 10 + 48
+        buf[..., p + 2] = v % 10 + 48
+
+    rows = buf.reshape(h // 2, w * len(_CELL))
+    suffix = np.tile(np.frombuffer(_ROW_SUFFIX, np.uint8), (h // 2, 1))
+    out = np.concatenate([rows, suffix], axis=1).tobytes()
+    return out[:-1].decode("utf-8")  # drop the trailing newline
 
 
 def run_viewer(scene_path: str, width: int = 128, height: int = 72,
