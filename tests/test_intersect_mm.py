@@ -121,3 +121,42 @@ def test_mm_streaming_large_mesh():
     np.testing.assert_allclose(
         np.asarray(t1)[hit], np.asarray(t0)[hit], rtol=5e-4, atol=1e-2
     )
+
+
+def test_b3_hi_lo_split_precision():
+    """The bf16 hi/lo 3-pass scheme (_det_matmul's "b3" mode) must carry
+    ~2^-16 relative error on determinant-scale magnitudes — orders of
+    magnitude tighter than a single bf16 pass (which corrupted on-chip
+    intersections; docs/PERFORMANCE.md round-2 precision bug)."""
+    import ml_dtypes
+
+    rng_ = np.random.default_rng(7)
+    # feature-scale magnitudes: |o|^2 ~ 3e3 alongside O(1) direction terms
+    x = (rng_.standard_normal((64, 16)) * np.array(
+        [1, 1, 1, 50, 50, 50, 50, 50, 50, 50, 3000, 1, 0, 0, 0, 0]
+    )).astype(np.float32)
+    w = (rng_.standard_normal((16, 128)) * 0.5).astype(np.float32)
+
+    exact = x.astype(np.float64) @ w.astype(np.float64)
+    scale = np.abs(x.astype(np.float64))[..., None] * np.abs(
+        w.astype(np.float64)
+    )[None]
+    bound = scale.sum(axis=1)  # sum_k |x_k||w_k| per output element
+
+    bf = ml_dtypes.bfloat16
+    xh = x.astype(bf)
+    xl = (x - xh.astype(np.float32)).astype(bf)
+    wh = w.astype(bf)
+    wl = (w - wh.astype(np.float32)).astype(bf)
+    b3 = (
+        xh.astype(np.float32) @ wh.astype(np.float32)
+        + xh.astype(np.float32) @ wl.astype(np.float32)
+        + xl.astype(np.float32) @ wh.astype(np.float32)
+    )
+    b1 = xh.astype(np.float32) @ wh.astype(np.float32)
+
+    err3 = np.abs(b3 - exact) / bound
+    err1 = np.abs(b1 - exact) / bound
+    assert err3.max() < 2.0**-14, err3.max()
+    assert err1.max() > 2.0**-11  # single-pass bf16 really is that coarse
+    assert err3.max() < err1.max() / 30
