@@ -724,6 +724,17 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         mxu_tile_passes=jnp.zeros((), jnp.float32),
     )
 
+    # The fb scatter-add costs ~52 ns per pool ROW per call on this backend
+    # no matter how many rows are masked out (drop-mode rows are not free —
+    # measured 162 ms/render, 23% of device time, even after banking went
+    # per-pixel). Banks are provably rare: a lane finishes its spb-sample
+    # chunk at most once every ceil(spb / bpi) regen cycles, so the loop
+    # body unrolls `flush_every` cycles, collects their banks in local
+    # pending slots (each lane can bank at most once per body), and runs
+    # ONE scatter per body. (A lax.cond-gated flush measured slower — the
+    # conditional breaks fusion around the framebuffer.)
+    flush_every = max(1, spb // max(1, cfg.bounces_per_iter))
+
     def advance(st):
         """bounces_per_iter bounce steps + per-sample bookkeeping (shared by
         the feed and drain loops). Returns the post-advance lane state plus
@@ -778,20 +789,6 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         )
         return st, path_done, more, bank
 
-    def bank_to_fb(fb, st, bank):
-        """Scatter finished pixels' accumulated radiance. Non-banking lanes
-        get an out-of-range index and are dropped; with spb == spp the
-        banked indices are distinct pixels, so the scatter is collision-free
-        and XLA needs no serializing."""
-        idx = jnp.where(bank, st["item"] % jnp.uint32(n_pix),
-                        jnp.uint32(n_pix))
-        fb = fb.at[idx].add(
-            st["acc"], mode="drop", unique_indices=unique_bank
-        )
-        return fb, dict(
-            st, acc=jnp.where(bank[:, None], 0.0, st["acc"])
-        )
-
     def restart_lanes(st, restart):
         """Fresh primary rays for lanes whose (item, schunk) changed."""
         _, _, no, nd = ray_for(st["item"], st["schunk"])
@@ -814,18 +811,29 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         return st["next_item"] < jnp.uint32(total)
 
     def body(st):
-        st, path_done, more, bank = advance(st)
-        fb, st = bank_to_fb(st.pop("fb"), st, bank)
-
-        # queue pop: dense position among banked lanes -> next work item
-        slot = jnp.cumsum(bank.astype(jnp.uint32)) - 1
-        new_item = st["next_item"] + slot
-        regen = bank & (new_item < total)
-        st["item"] = jnp.where(regen, new_item, st["item"])
-        st = restart_lanes(st, more | regen)
-        next_item = jnp.minimum(
-            st["next_item"] + jnp.sum(bank, dtype=jnp.uint32),
-            jnp.uint32(total),
+        fb = st.pop("fb")
+        next_item = st.pop("next_item")
+        pend_idx = jnp.full((pool,), n_pix, jnp.uint32)
+        pend_rgb = jnp.zeros((pool, 3), jnp.float32)
+        for _ in range(flush_every):
+            st, path_done, more, bank = advance(st)
+            pend_idx = jnp.where(
+                bank, st["item"] % jnp.uint32(n_pix), pend_idx
+            )
+            pend_rgb = jnp.where(bank[:, None], st["acc"], pend_rgb)
+            st["acc"] = jnp.where(bank[:, None], 0.0, st["acc"])
+            # queue pop: dense position among banked lanes -> next item
+            slot = jnp.cumsum(bank.astype(jnp.uint32)) - 1
+            new_item = next_item + slot
+            regen = bank & (new_item < total)
+            st["item"] = jnp.where(regen, new_item, st["item"])
+            st = restart_lanes(st, more | regen)
+            next_item = jnp.minimum(
+                next_item + jnp.sum(bank, dtype=jnp.uint32),
+                jnp.uint32(total),
+            )
+        fb = fb.at[pend_idx].add(
+            pend_rgb, mode="drop", unique_indices=unique_bank
         )
 
         if cfg.sort_lanes:
