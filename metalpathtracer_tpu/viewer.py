@@ -212,9 +212,12 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
             # --- one progressive step, dispatched asynchronously ---------
             t0 = time.perf_counter()
             if use_wavefront:
+                # small pool: a viewer frame is ~1 spp of a small image, so
+                # drain-stage count (and compile size) stays low
                 pending, rays = accumulate_wavefront(
                     state, scene, cam, width, height, spp_per_frame,
                     jnp.uint32(seed), cfg,
+                    pool_size=min(4096, width * height * spp_per_frame),
                 )
             else:
                 pending = accumulate(
@@ -287,7 +290,7 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
                         inputs.zoom += 12.0 * ev[1]
                 if quit_req or pending.rgb_sum.is_ready():
                     break
-                time.sleep(0.004)
+                time.sleep(0.002)
             if quit_req:
                 return
 
