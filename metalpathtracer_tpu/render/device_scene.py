@@ -91,7 +91,7 @@ def _build_light_table(packed: PackedScene) -> dict:
     """Host-side light table over every emissive primitive. Pick weights are
     proportional to radiant flux (max emission channel x power x area), so a
     dim candle is rarely sampled next to a bright panel."""
-    from metalpathtracer_tpu.scene.types import PRIM_SPHERE, PRIM_TRIANGLE
+    from metalpathtracer_tpu.scene.types import PRIM_TRIANGLE
 
     p = packed.num_padded
     real = np.arange(p) < packed.num_real

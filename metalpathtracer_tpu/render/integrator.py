@@ -732,8 +732,10 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     # body unrolls `flush_every` cycles, collects their banks in local
     # pending slots (each lane can bank at most once per body), and runs
     # ONE scatter per body. (A lax.cond-gated flush measured slower — the
-    # conditional breaks fusion around the framebuffer.)
-    flush_every = max(1, spb // max(1, cfg.bounces_per_iter))
+    # conditional breaks fusion around the framebuffer.) Capped at 4: the
+    # unroll multiplies compiled-body size, and beyond 4 the remaining
+    # scatter cost is already down in the noise.
+    flush_every = min(max(1, spb // max(1, cfg.bounces_per_iter)), 4)
 
     def advance(st):
         """bounces_per_iter bounce steps + per-sample bookkeeping (shared by

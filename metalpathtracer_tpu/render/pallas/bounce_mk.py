@@ -43,7 +43,6 @@ from metalpathtracer_tpu.render.pallas.intersect_mm import (
     NUM_FEATURES,
     TILE_P,
     TRI_PARALLEL_EPS,
-    _cull_tile_lists,
     _det_matmul,
 )
 
