@@ -467,7 +467,7 @@ def trace_wavefront_packed(scene, camera, width, height, spp, seed,
             "chunks via render_image/sample_offset instead"
         )
     if pool_size is None:
-        pool_size = min(total, 1 << 18)
+        pool_size = min(total, 1 << 16)
     pool = -(-int(pool_size) // MK.MK_BLOCK_R) * MK.MK_BLOCK_R
 
     seed_u = jnp.asarray(seed, jnp.uint32)
@@ -679,7 +679,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             "chunks via render_image/sample_offset instead"
         )
     if pool_size is None:
-        pool_size = min(n_pix * spp, 1 << 18)
+        pool_size = min(n_pix * spp, 1 << 16)
     pool = int(pool_size)
 
     # samples-per-bank: when the image carries enough parallelism, one lane
@@ -909,15 +909,17 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     width_now = pool
     min_w = min(pool, 1024)  # one intersection block; narrower just pads
     while width_now > min_w:
-        half = max(width_now // 2, min_w)
-        drain = drain_stage(drain, half)
+        # quarter steps: each stage is a separately compiled while-loop, so
+        # fewer/bigger shrinks keep compile size down for large pools
+        nxt = max(width_now // 4, min_w)
+        drain = drain_stage(drain, nxt)
         fb, drain = flush(fb, drain)
         live_first = jnp.argsort(~drain["alive"])  # stable: live lanes first
         drain = {
-            k: (v if v.ndim == 0 else v[live_first][:half])
+            k: (v if v.ndim == 0 else v[live_first][:nxt])
             for k, v in drain.items()
         }
-        width_now = half
+        width_now = nxt
     drain = drain_stage(drain, 0)
     fb, drain = flush(fb, drain)
     if return_stats:
