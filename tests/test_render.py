@@ -295,3 +295,52 @@ def test_nee_mis_mesh_light_matches_naive():
     m0 = float(np.asarray(naive).mean())
     m1 = float(np.asarray(nee).mean())
     assert abs(m0 - m1) / m0 < 0.08, (m0, m1)
+
+
+def test_nee_on_lightless_scene_is_noop():
+    # cfg.nee=True on a scene with zero emissive primitives must fall back
+    # to the plain estimator (num_lights == 0 disables light sampling
+    # statically) and stay bit-identical to nee=False
+    s = HostScene()
+    s.add_sphere((0, -10000, 0), 10000.0, Material(albedo=(0.6, 0.6, 0.6)))
+    s.add_sphere((0, 1, 0), 1.0, Material(albedo=(0.8, 0.2, 0.2)))
+    scene = upload_scene(s)
+    assert scene.num_lights == 0
+    cam = Camera.look_at((0, 2, 6), (0, 1, 0), vfov_deg=45.0)
+    a, ra = render_image(scene, cam, 16, 16, spp=4, seed=5,
+                         cfg=RenderConfig(max_depth=4))
+    b, rb = render_image(scene, cam, 16, 16, spp=4, seed=5,
+                         cfg=RenderConfig(max_depth=4, nee=True))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ra == rb
+
+
+def test_wavefront_nee_matches_scan_nee():
+    # the spp-batched wavefront must agree with the scan integrator under
+    # NEE+MIS too (prev_pdf carry, shadow-ray counting, per-sample acc)
+    from metalpathtracer_tpu.render import render_image_wavefront
+
+    scene = upload_scene(presets.cornell_spheres())
+    cfg = RenderConfig(max_depth=4, nee=True, rr_start=2)
+    a, ra = render_image(scene, CORNELL_CAM, 24, 24, spp=4, seed=9, cfg=cfg,
+                         spp_per_pass=4)
+    b, rb = render_image_wavefront(scene, CORNELL_CAM, 24, 24, spp=4, seed=9,
+                                   cfg=cfg, pool_size=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+    assert ra == rb
+
+
+def test_wavefront_clamped_spp_batching():
+    # clamp_radiance applies PER SAMPLE inside the lane-local accumulator;
+    # the batched path must match the scan path exactly
+    from metalpathtracer_tpu.render import render_image_wavefront
+
+    scene = upload_scene(presets.cornell_spheres())
+    cfg = RenderConfig(max_depth=4, clamp_radiance=True)
+    a, _ = render_image(scene, CORNELL_CAM, 16, 16, spp=4, seed=3, cfg=cfg,
+                        spp_per_pass=4)
+    b, _ = render_image_wavefront(scene, CORNELL_CAM, 16, 16, spp=4, seed=3,
+                                  cfg=cfg, pool_size=256)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-7)
