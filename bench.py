@@ -44,7 +44,6 @@ def main() -> int:
         RenderConfig,
         trace_wavefront,
     )
-    from metalpathtracer_tpu.render.pallas.intersect_mm import BLOCK_R, TILE_P
     from metalpathtracer_tpu.scene import load_scene_xml
 
     dev = jax.devices()[0]
@@ -83,8 +82,9 @@ def main() -> int:
         jax.block_until_ready(fb)
         dt = time.perf_counter() - t0
         mrays = int(rays) / dt / 1e6
-        # 4 MT determinants x 24 flops per tested (ray, triangle) pair
-        useful_flops = float(stats["mxu_tile_passes"]) * BLOCK_R * TILE_P * 96
+        # 4 MT determinants x 24 flops per tested (ray, triangle) pair;
+        # the counter reports pairs in units of 2^20
+        useful_flops = float(stats["mxu_tile_passes"]) * (1 << 20) * 96
         mfu = useful_flops / dt / PEAK_FLOPS_V5E
         if mrays > best:
             best, best_mfu = mrays, mfu

@@ -62,6 +62,13 @@ _LIVE_FEATURES = 12
 # for perf sweeps only — production uses the defaults.
 BLOCK_R = int(os.environ.get("MPT_BLOCK_R", "1024"))
 TILE_P = int(os.environ.get("MPT_TILE_P", "256"))
+# cull granularity WITHIN a kernel block: tile lists are built per CULL_R
+# consecutive lanes (the kernel processes each subgroup against its own
+# list). One list per 1024 incoherent lanes tests the UNION of their tiles
+# (the bounced-ray diagnostic in docs/PERFORMANCE.md measured 20/20 tiles
+# passing); finer lists cut matmul pairs wherever rays share any locality.
+# Must divide BLOCK_R and be a multiple of 128.
+CULL_R = int(os.environ.get("MPT_CULL_R", "128"))
 # Mosaic's default scoped-VMEM budget is 16 MB, but a v5e core has 128 MiB
 # of physical VMEM; raising the cap lets the det tile use wide ray blocks.
 VMEM_LIMIT_BYTES = int(os.environ.get("MPT_VMEM_LIMIT_MB", "100")) * (1 << 20)
@@ -251,59 +258,64 @@ def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 def _mm_kernel(lists_ref, counts_ref, x_ref, w_ref, t_ref, idx_ref,
                *, t_min: float):
     """VMEM-resident weights. Work-skipping design (see docs/PERFORMANCE.md):
-    the per-block passing-tile lists are computed OUTSIDE the kernel
-    (vectorized XLA cull) and arrive via scalar prefetch; the kernel loops
-    exactly `count` times. Branches (`lax.cond`, in-loop `pl.when`) measured
-    as predicated-both-paths on TPU, and an in-kernel scalar cull loop costs
-    ~1.7us/iteration — so neither appears here."""
+    the passing-tile lists are computed OUTSIDE the kernel (vectorized XLA
+    cull) per CULL_R-lane SUBGROUP and arrive as SMEM inputs; each subgroup
+    loops exactly its own `count` times over its own list. Branches
+    (`lax.cond`, in-loop `pl.when`) measured as predicated-both-paths on
+    TPU, and an in-kernel scalar cull loop costs ~1.7us/iteration — so
+    neither appears here."""
     cell = pl.program_id(0)
-    x = x_ref[:]  # (B, 12)
-    b = x.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, TILE_P), 1)
+    sub = BLOCK_R // CULL_R
+    rows = CULL_R // 128
+    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R, TILE_P), 1)
 
-    def tile_body(j, carry):
-        best_t, best_i = carry
-        i = lists_ref[cell, j]
-        # one fused (B,12)@(12,4T) matmul: [a | su | sv | st]
-        s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
-        block = _det_matmul(x, w_ref[:, s4])
-        sa = block[:, 0:TILE_P]
-        su = block[:, TILE_P : 2 * TILE_P]
-        sv = block[:, 2 * TILE_P : 3 * TILE_P]
-        st = block[:, 3 * TILE_P : 4 * TILE_P]
+    for sg in range(sub):  # static unroll over subgroups
+        x = x_ref[sg * CULL_R : (sg + 1) * CULL_R, :]
+        g = cell * sub + sg
 
-        # u = su/a, v = sv/a, t = st/a (PathTracing.h:143-176)
-        par = jnp.abs(sa) <= TRI_PARALLEL_EPS
-        f = 1.0 / jnp.where(par, 1.0, sa)
-        u = f * su
-        v = f * sv
-        tt = f * st
-        ok = (
-            (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-            & (u + v <= 1.0) & (tt > t_min)
-        )
-        t_all = jnp.where(ok, tt, _INF)
+        def tile_body(j, carry, x=x, g=g):
+            best_t, best_i = carry
+            i = lists_ref[g, j]
+            # one fused (B,16)@(16,4T) matmul: [a | su | sv | st]
+            s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
+            block = _det_matmul(x, w_ref[:, s4])
+            sa = block[:, 0:TILE_P]
+            su = block[:, TILE_P : 2 * TILE_P]
+            sv = block[:, 2 * TILE_P : 3 * TILE_P]
+            st = block[:, 3 * TILE_P : 4 * TILE_P]
 
-        # tile argmin: min value, then smallest matching column
-        t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
-        idx_in_tile = jnp.min(
-            jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
-            axis=1,
-            keepdims=True,
-        )
-        t_best_tile = t_best_tile[:, 0]
-        idx_tile = i * TILE_P + idx_in_tile[:, 0]
+            # u = su/a, v = sv/a, t = st/a (PathTracing.h:143-176)
+            par = jnp.abs(sa) <= TRI_PARALLEL_EPS
+            f = 1.0 / jnp.where(par, 1.0, sa)
+            u = f * su
+            v = f * sv
+            tt = f * st
+            ok = (
+                (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                & (u + v <= 1.0) & (tt > t_min)
+            )
+            t_all = jnp.where(ok, tt, _INF)
 
-        better = t_best_tile < best_t
-        return (jnp.where(better, t_best_tile, best_t),
-                jnp.where(better, idx_tile, best_i))
+            # tile argmin: min value, then smallest matching column
+            t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
+            idx_in_tile = jnp.min(
+                jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
+                axis=1,
+                keepdims=True,
+            )
+            t_best_tile = t_best_tile[:, 0]
+            idx_tile = i * TILE_P + idx_in_tile[:, 0]
 
-    init = (jnp.full((b,), _INF), jnp.full((b,), -1, jnp.int32))
-    best_t, best_i = jax.lax.fori_loop(0, counts_ref[cell], tile_body, init)
-    # (8, 128)-tiled output blocks: a (B, 1) layout puts one element per
-    # sublane row and costs ~12us/cell of pure write overhead
-    t_ref[:, :] = best_t.reshape(t_ref.shape)
-    idx_ref[:, :] = best_i.reshape(idx_ref.shape)
+            better = t_best_tile < best_t
+            return (jnp.where(better, t_best_tile, best_t),
+                    jnp.where(better, idx_tile, best_i))
+
+        init = (jnp.full((CULL_R,), _INF), jnp.full((CULL_R,), -1, jnp.int32))
+        best_t, best_i = jax.lax.fori_loop(0, counts_ref[g], tile_body, init)
+        # (8, 128)-tiled output blocks: a (B, 1) layout puts one element per
+        # sublane row and costs ~12us/cell of pure write overhead
+        t_ref[sg * rows : (sg + 1) * rows, :] = best_t.reshape(rows, 128)
+        idx_ref[sg * rows : (sg + 1) * rows, :] = best_i.reshape(rows, 128)
 
 
 def _mm_kernel_stream(lists_ref, counts_ref, x_ref, w_hbm_ref, t_ref, idx_ref,
@@ -447,9 +459,13 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
     n_tiles = p4 // (4 * TILE_P)
     grid = (n // BLOCK_R,)
 
-    lists, counts = _cull_tile_lists(x, active, tile_box, t_min)
-
     stream = (p4 // 4) > VMEM_RESIDENT_MAX_TRIS
+    # resident kernel culls per CULL_R-lane subgroup; the streaming kernel
+    # keeps one list per BLOCK_R block (its DMA cost scales with list
+    # length, so coarser union lists suit it until it subgroups too)
+    gran = BLOCK_R if stream else CULL_R
+    lists, counts = _cull_tile_lists(x, active, tile_box, t_min, block_r=gran)
+
     if stream:
         kernel = functools.partial(_mm_kernel_stream, t_min=t_min)
         w_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
@@ -496,11 +512,13 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
         ),
         interpret=interpret,
     )(lists, counts, x, w_all)
-    # passing (block, tile) pairs this call — the MFU numerator's basis
-    # (each passing tile runs BLOCK_R x TILE_P Moller-Trumbore tests on the
-    # MXU); counts is already here, so the telemetry is free. f32 so long
-    # renders can't overflow int32 when callers accumulate.
-    tile_passes = jnp.sum(counts).astype(jnp.float32)
+    # tested (ray, triangle) pairs this call in units of 2^20 ("mega
+    # pairs") — the MFU numerator (each passing list entry runs gran x
+    # TILE_P Moller-Trumbore tests on the MXU). f32 mega-pair units keep
+    # long renders well inside float precision.
+    tile_passes = jnp.sum(counts).astype(jnp.float32) * (
+        gran * TILE_P / float(1 << 20)
+    )
     return t.reshape(n), idx.reshape(n), tile_passes
 
 
