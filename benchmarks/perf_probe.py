@@ -23,6 +23,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--megakernel", action="store_true")
+    ap.add_argument("--sort", action="store_true",
+                    help="cfg.sort_lanes origin-locality pool sorting")
     ap.add_argument("--pool", type=int, default=12, help="log2 pool size")
     ap.add_argument("--bpi", type=int, default=2)
     ap.add_argument("--spp", type=int, default=4)
@@ -54,6 +56,7 @@ def main() -> int:
         max_depth=args.depth,
         bounces_per_iter=args.bpi,
         megakernel=args.megakernel,
+        sort_lanes=args.sort,
     )
 
     kw = dict(spp=args.spp, cfg=cfg, pool_size=1 << args.pool)

@@ -50,13 +50,16 @@ class RenderConfig:
     # VMEM and BVH traversal beyond; "bvh" / "mm" / "brute" force a path.
     intersector: str = "auto"
     brute_chunk: int = 128
-    # wavefront lane sorting: reorder the pool each iteration so live lanes
-    # compact to the front and nearby rays share blocks. Measured on v5e:
-    # the argsort + state-permutation gathers cost MORE than the improved
-    # tile culling saves (28 -> 7 Mrays/s on the Cornell box), so this stays
-    # off; kept as a switch for future cheaper partition schemes. Positional
-    # RNG makes the estimate invariant to any lane permutation.
-    sort_lanes: bool = False
+    # wavefront lane sorting: reorder the pool by origin Morton cell each
+    # feed-loop body so the per-CULL_R-subgroup tile lists see coherent
+    # lanes (bounced subgroups otherwise pass every tile — the cull
+    # diagnostic in docs/PERFORMANCE.md). The permutation rides through two
+    # packed matrices (2 row-gathers); measured +9% on the bunny bench
+    # (11.4 -> 12.4 Mrays/s). Round 1's per-array permute version was a
+    # big loss — the packed rewrite plus subgroup culling flipped the sign.
+    # Ignored for triangle-free scenes (nothing to cull). Positional RNG
+    # makes the estimate invariant to any lane permutation.
+    sort_lanes: bool = True
     # fused-bounce Pallas megakernel for the wavefront (intersection + BSDF
     # + RNG in one program; render/pallas/bounce_mk.py). Falls back to the
     # XLA bounce for NEE or oversized scenes. Draws identical randoms; BSDF
@@ -838,14 +841,31 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             pend_rgb, mode="drop", unique_indices=unique_bank
         )
 
-        if cfg.sort_lanes:
-            # coherence key: dead lanes last; live lanes grouped by direction
-            # octant then coarse origin cell (scene-root-AABB morton)
+        if cfg.sort_lanes and scene.num_tris > 0:
+            # origin-locality sort: tile lists are per CULL_R-lane subgroup,
+            # so grouping lanes by origin Morton cell makes BOUNCED
+            # subgroups cull like coherent primaries (the per-block-ANY
+            # union covers everything otherwise — docs/PERFORMANCE.md cull
+            # diagnostic). The permutation rides through two packed
+            # matrices — 2 wide row-gathers instead of 11 per-array gathers
+            # (the round-1 version whose cost killed the idea).
             o, d, alive = st["o"], st["d"], st["alive"]
             span = jnp.maximum(scene.node_hi[0] - scene.node_lo[0], 1e-6)
             q = jnp.clip(
-                (o - scene.node_lo[0]) / span * 15.0, 0.0, 15.0
+                (o - scene.node_lo[0]) / span * 31.0, 0.0, 31.0
             ).astype(jnp.uint32)
+
+            def spread3(v):  # part1by2 (works for <=10-bit inputs)
+                v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+                v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+                v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+                v = (v | (v << 2)) & jnp.uint32(0x09249249)
+                return v
+
+            morton = (
+                spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                | (spread3(q[:, 2]) << 2)
+            )
             octant = (
                 (d[:, 0] > 0).astype(jnp.uint32)
                 | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
@@ -853,16 +873,32 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             )
             key = (
                 jnp.where(alive, jnp.uint32(0), jnp.uint32(1) << 31)
-                | (octant << 12)
-                | (q[:, 0] << 8)
-                | (q[:, 1] << 4)
-                | q[:, 2]
+                | (morton << 3)
+                | octant
             )
             perm = jnp.argsort(key)
-            st = {
-                k: (v if v.ndim == 0 else v[perm]) for k, v in st.items()
-                if k not in ("next_item", "rays")
-            } | {"next_item": st["next_item"], "rays": st["rays"]}
+            fpack = jnp.concatenate(
+                [st["o"], st["d"], st["acc"], st["light"], st["tp"],
+                 st["prev_pdf"][:, None]],
+                axis=1,
+            )[perm]
+            ipack = jnp.stack(
+                [st["item"].astype(jnp.int32),
+                 st["schunk"].astype(jnp.int32),
+                 st["bounce"],
+                 st["alive"].astype(jnp.int32)],
+                axis=1,
+            )[perm]
+            st = dict(
+                st,
+                o=fpack[:, 0:3], d=fpack[:, 3:6], acc=fpack[:, 6:9],
+                light=fpack[:, 9:12], tp=fpack[:, 12:15],
+                prev_pdf=fpack[:, 15],
+                item=ipack[:, 0].astype(jnp.uint32),
+                schunk=ipack[:, 1].astype(jnp.uint32),
+                bounce=ipack[:, 2],
+                alive=ipack[:, 3] > 0,
+            )
 
         return dict(st, fb=fb, next_item=next_item)
 
