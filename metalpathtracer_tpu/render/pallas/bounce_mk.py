@@ -56,6 +56,11 @@ MK_BLOCK_R = int(os.environ.get("MPT_MK_BLOCK_R", "1024"))
 MK_VMEM_LIMIT_BYTES = (
     int(os.environ.get("MPT_MK_VMEM_LIMIT_MB", "100")) * (1 << 20)
 )
+# ablation switch for kernel-cost attribution (benchmarks only):
+#   full  = production kernel
+#   isect = stop after the intersection phase (t/col into the outputs)
+#   fetch = intersection + winner-row fetch, skip shading/RNG
+MK_ABLATE = os.environ.get("MPT_MK_ABLATE", "full")
 
 # float-state columns
 F_OX, F_OY, F_OZ = 0, 1, 2
@@ -255,6 +260,13 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
         (jnp.full((b,), _INF), jnp.full((b,), -1, jnp.int32)),
     )
 
+    if MK_ABLATE == "isect":
+        sf_out[:, :] = sf
+        si_out[:, :] = si
+        sf_out[:, 12] = jnp.minimum(t_tri, t_sph)
+        si_out[:, 5] = best_col
+        return
+
     # ---------------- winner rows via one-hot matmuls ----------------------
     # Fetch the TRIANGLE candidate row first, refine its t exactly, and only
     # then decide tri-vs-sphere: deciding on the approximate matmul t and
@@ -308,6 +320,13 @@ def _bounce_kernel(lists_ref, counts_ref, params_ref, sph_sc_ref,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
     acc = jnp.where(tri_wins[:, None], acc_tri, acc_sph)
+
+    if MK_ABLATE == "fetch":
+        sf_out[:, :] = sf
+        si_out[:, :] = si
+        sf_out[:, 12] = jnp.where(tri_wins, t_tri_exact, t_sph)
+        sf_out[:, 13] = acc[:, 12]
+        return
 
     t = jnp.where(tri_wins, t_tri_exact, t_sph)
     hit = active & jnp.isfinite(t)
@@ -491,31 +510,37 @@ def bounce_megakernel(sf, si, lists, counts, params, sph_sc, w_all,
         adaptive_offset=adaptive_offset,
     )
     p4 = w_all.shape[1]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # lists, counts, params, sph scalars
+    # lists/counts/params/sphere scalars ride as plain SMEM inputs, NOT
+    # PrefetchScalarGridSpec: the prefetch wrapper is the documented ~800x
+    # pathology on this toolchain (docs/PERFORMANCE.md) — the split kernel
+    # dropped it in round 1, and the megakernel's entire "3.3x slower than
+    # split" mystery ablated down to exactly this wrapper (intersection
+    # phase 461 us/block with it; fetch+shading only +14 us combined).
+    sf_new, si_new = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((MK_BLOCK_R, STATE_F_COLS), lambda i, *_: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((MK_BLOCK_R, STATE_F_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((MK_BLOCK_R, STATE_I_COLS), lambda i, *_: (i, 0),
+            pl.BlockSpec((MK_BLOCK_R, STATE_I_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_FEATURES, p4), lambda i, *_: (0, 0),
+            pl.BlockSpec((NUM_FEATURES, p4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tri_tbl.shape[0], TBL_COLS), lambda i, *_: (0, 0),
+            pl.BlockSpec((tri_tbl.shape[0], TBL_COLS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sph_tbl.shape[0], TBL_COLS), lambda i, *_: (0, 0),
+            pl.BlockSpec((sph_tbl.shape[0], TBL_COLS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((MK_BLOCK_R, STATE_F_COLS), lambda i, *_: (i, 0),
+            pl.BlockSpec((MK_BLOCK_R, STATE_F_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((MK_BLOCK_R, STATE_I_COLS), lambda i, *_: (i, 0),
+            pl.BlockSpec((MK_BLOCK_R, STATE_I_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
-    )
-    sf_new, si_new = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n, STATE_F_COLS), jnp.float32),
             jax.ShapeDtypeStruct((n, STATE_I_COLS), jnp.int32),
