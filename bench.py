@@ -64,8 +64,11 @@ def main() -> int:
         )
         return fb, rays, stats
 
-    # warmup / compile
+    # warmup / compile; the ray-count fetch is the real barrier (through
+    # the tunnel, block_until_ready alone returns before the remote
+    # compile+execute completes, and the first timed pass would eat it)
     fb, rays, stats = render(scene, camera, rng.seed_from_int(0), spp, pool)
+    int(rays)
     jax.block_until_ready(fb)
 
     # timed: best of repeated passes. The ray count is READ inside the
