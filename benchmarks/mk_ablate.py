@@ -29,6 +29,16 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+    # the env vars alone do NOT engage the persistent cache on this
+    # backend (verified: entries only appear after explicit config.update)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
