@@ -871,6 +871,9 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
                 | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
             )
+            # origin-major key: octant-major measured 11.34 vs 12.43
+            # Mrays/s — the slab cull is origin-dominated, so origin
+            # locality is what shrinks subgroup lists
             key = (
                 jnp.where(alive, jnp.uint32(0), jnp.uint32(1) << 31)
                 | (morton << 3)
