@@ -344,3 +344,65 @@ def test_wavefront_clamped_spp_batching():
                                   cfg=cfg, pool_size=256)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_light_sampler_pdf_integrates_to_solid_angle():
+    """Monte-Carlo identity check of _sample_light's solid-angle pdfs:
+    for samples drawn from the picked light, E[1 / pdf_sa] equals the
+    light's subtended solid angle from the query point — for the sphere
+    (cone) sampler AND the triangle (area->solid-angle) sampler. A wrong
+    jacobian would bias every MIS weight and NEE contribution."""
+    import jax.numpy as jnp
+
+    from metalpathtracer_tpu.render.integrator import _sample_light
+
+    # one sphere light and one triangle light, geometrically well separated
+    s = HostScene()
+    s.add_sphere((0, 10, 0), 2.0, Material(albedo=(0, 0, 0),
+                 emission_color=(1, 1, 1), emission_power=5))
+    s.add_triangle((8, -1, -1), (8, 1, -1), (8, 0, 1.5),
+                   Material(albedo=(0, 0, 0), emission_color=(1, 1, 1),
+                            emission_power=5))
+    scene = upload_scene(s)
+    assert scene.num_lights == 2
+
+    n = 20000
+    point = jnp.zeros((n, 3))
+    key = np.random.default_rng(3)
+    u_pick = jnp.asarray(key.random(n), jnp.float32)
+    u1 = jnp.asarray(key.random(n), jnp.float32)
+    u2 = jnp.asarray(key.random(n), jnp.float32)
+    ldir, ldist, lrad, pdf, lprim, valid = _sample_light(
+        scene, point, u_pick, u1, u2
+    )
+    pdf = np.asarray(pdf)
+    lprim = np.asarray(lprim)
+    valid = np.asarray(valid)
+    pick_p = np.asarray(scene.light_pick_p)[: scene.num_lights]
+    prim_of = np.asarray(scene.light_prim)[: scene.num_lights]
+
+    # per light: E[pick_p / pdf | picked] * (picks/n) / pick_p
+    # = E[1/pdf_sa] estimated over that light's draws = solid angle
+    for row in range(2):
+        sel = valid & (lprim == prim_of[row])
+        # flux weighting sends ~95% of picks to the big sphere; the small
+        # triangle still gets enough draws for a ~3% MC estimate
+        assert sel.sum() > 500
+        # pdf includes the pick probability; back it out
+        omega = np.mean(pick_p[row] / pdf[sel])
+        if np.asarray(scene.light_kind)[row] == 0:  # sphere, cone solid angle
+            d, r = 10.0, 2.0
+            expect = 2 * np.pi * (1 - np.sqrt(1 - (r / d) ** 2))
+        else:  # triangle: MC reference via uniform area sampling
+            v0 = np.array([8, -1, -1.0]); e1 = np.array([0, 2, 0.0])
+            e2 = np.array([0, 1, 2.5])
+            rng2 = np.random.default_rng(11)
+            a = rng2.random((200000, 2))
+            su = np.sqrt(a[:, 0]); b1 = 1 - su; b2 = a[:, 1] * su
+            pts = v0 + b1[:, None] * e1 + b2[:, None] * e2
+            nrm = np.cross(e1, e2); area = np.linalg.norm(nrm) / 2
+            nu = nrm / np.linalg.norm(nrm)
+            dist = np.linalg.norm(pts, axis=1)
+            cosl = np.abs(pts @ nu) / dist
+            expect = float(np.mean(cosl / dist**2) * area)
+        assert abs(omega - expect) / expect < 0.08, (row, omega, expect)
