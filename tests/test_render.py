@@ -406,3 +406,41 @@ def test_light_sampler_pdf_integrates_to_solid_angle():
             cosl = np.abs(pts @ nu) / dist
             expect = float(np.mean(cosl / dist**2) * area)
         assert abs(omega - expect) / expect < 0.08, (row, omega, expect)
+
+
+def test_mis_counterweight_matches_sampler_density():
+    """The MIS counterweight `_light_pdf_toward` must return exactly the
+    density `_sample_light` used to generate a direction — any mismatch
+    between the forward sampler and its reverse evaluation biases the
+    power-heuristic weights."""
+    import jax.numpy as jnp
+
+    from metalpathtracer_tpu.render.integrator import (
+        _light_pdf_toward,
+        _sample_light,
+    )
+
+    s = HostScene()
+    s.add_sphere((0, 10, 0), 2.0, Material(albedo=(0, 0, 0),
+                 emission_color=(1, 1, 1), emission_power=5))
+    s.add_triangle((8, -1, -1), (8, 1, -1), (8, 0, 1.5),
+                   Material(albedo=(0, 0, 0), emission_color=(1, 1, 1),
+                            emission_power=5))
+    scene = upload_scene(s)
+
+    n = 4096
+    point = jnp.zeros((n, 3))
+    key = np.random.default_rng(5)
+    ldir, ldist, lrad, pdf_fwd, lprim, valid = _sample_light(
+        scene,
+        point,
+        jnp.asarray(key.random(n), jnp.float32),
+        jnp.asarray(key.random(n), jnp.float32),
+        jnp.asarray(key.random(n), jnp.float32),
+    )
+    pdf_rev = _light_pdf_toward(scene, point, ldir, ldist, lprim)
+    fwd = np.asarray(pdf_fwd)
+    rev = np.asarray(pdf_rev)
+    v = np.asarray(valid)
+    assert v.sum() > n * 0.95
+    np.testing.assert_allclose(rev[v], fwd[v], rtol=2e-4)
