@@ -90,3 +90,37 @@ def test_wavefront_bounces_per_iter_invariant(cornell):
         np.testing.assert_allclose(np.asarray(img), np.asarray(base),
                                    rtol=1e-5, atol=1e-6)
         assert r == rb
+
+
+def test_accumulate_wavefront_matches_scan_accumulate():
+    """The viewer's progressive fast path (accumulate_wavefront, sample
+    ids continuing at state.spp) must agree with the scan-based
+    accumulate step for step."""
+    import jax.numpy as jnp
+
+    from metalpathtracer_tpu.render import (
+        accumulate,
+        accumulate_wavefront,
+        init_accum,
+        upload_scene,
+    )
+    from metalpathtracer_tpu.render.integrator import RenderConfig
+    from metalpathtracer_tpu.scene import presets
+    from metalpathtracer_tpu.render import Camera
+
+    scene = upload_scene(presets.cornell_spheres())
+    cam = Camera.look_at((0, 2.5, 9.0), (0, 2.5, 0), vfov_deg=40.0)
+    cfg = RenderConfig(max_depth=4)
+
+    a = init_accum(24, 24)
+    b = init_accum(24, 24)
+    for _ in range(2):
+        a = accumulate(a, scene, cam, 24, 24, 2, jnp.uint32(0), cfg)
+        b, rays = accumulate_wavefront(
+            b, scene, cam, 24, 24, 2, jnp.uint32(0), cfg, pool_size=256
+        )
+        assert int(rays) > 0
+    assert int(a.spp) == int(b.spp) == 4
+    np.testing.assert_allclose(
+        np.asarray(a.rgb_sum), np.asarray(b.rgb_sum), rtol=1e-5, atol=1e-6
+    )
