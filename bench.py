@@ -10,9 +10,13 @@ own — SURVEY.md §6).
 Rays are counted exactly: the integrator sums live lanes per bounce
 (`metalpathtracer_tpu/render/integrator.py`), so Mrays/sec reflects rays
 actually traced, not pixels x spp x max_depth. The JSON also reports `mfu`:
-useful Moller-Trumbore FLOPs (tested (ray, triangle) pairs x 96 flops,
-counted exactly from the kernel's culled tile passes) over the v5e chip
-peak — the hardware-relative progress number VERDICT r1 asked for.
+USEFUL-FLOP MFU — Moller-Trumbore FLOPs the algorithm needs (tested
+(ray, triangle) pairs x 96 flops, counted exactly from the kernel's culled
+tile passes) over the v5e chip peak (ADVICE r2: this is algorithmic
+utilization, not hardware-counter MFU). Hardware MXU occupancy is higher
+by the K-padding factor (the 16-feature contraction pads to the MXU's 128
+rows) times the precision scheme's pass count: 1 bf16 pass/pair in the
+default "pack" mode (the packed hi/lo scheme), 3 in "b3".
 """
 
 from __future__ import annotations

@@ -61,7 +61,7 @@ def main() -> int:
     print(
         f"scene: {args.tris} tris built+uploaded in "
         f"{time.perf_counter() - t0:.1f}s; mm_w {scene.mm_w.shape} "
-        f"({scene.mm_w.size * 4 / 1e6:.0f} MB), "
+        f"({scene.mm_w.nbytes / 1e6:.0f} MB), "
         f"{scene.mm_tile_box.shape[0]} tiles",
         file=sys.stderr,
     )

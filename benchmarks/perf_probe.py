@@ -4,7 +4,7 @@ Run under different MPT_* env vars (block sizes bind at import time) and
 compare the printed Mrays/s. End-to-end only: standalone kernel timings lie
 on this backend (docs/PERFORMANCE.md "measurement trap").
 
-Usage: python benchmarks/perf_probe.py [--megakernel] [--pool LOG2]
+Usage: python benchmarks/perf_probe.py [--pool LOG2]
            [--bpi N] [--spp N] [--depth N] [--scene PATH] [--tag STR]
 """
 
@@ -22,7 +22,6 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--megakernel", action="store_true")
     ap.add_argument("--sort", action="store_true",
                     help="cfg.sort_lanes origin-locality pool sorting")
     ap.add_argument("--pool", type=int, default=12, help="log2 pool size")
@@ -65,7 +64,6 @@ def main() -> int:
     cfg = RenderConfig(
         max_depth=args.depth,
         bounces_per_iter=args.bpi,
-        megakernel=args.megakernel,
         sort_lanes=args.sort,
     )
 
@@ -92,8 +90,7 @@ def main() -> int:
             dict(
                 tag=args.tag,
                 mrays=round(best, 3),
-                megakernel=args.megakernel,
-                pool=args.pool,
+                        pool=args.pool,
                 bpi=args.bpi,
                 mean=float(img.mean()),
                 compile_s=round(compile_s, 1),

@@ -5,7 +5,7 @@ xplane with xprof's hlo_stats tool, aggregating self-time by HLO op — the
 trustworthy in-situ view (docs/PERFORMANCE.md "measurement trap": standalone
 fragment timings lie; only whole-program traces attribute cost correctly).
 
-Usage: python benchmarks/profile_render.py [--megakernel] [--pool N] ...
+Usage: python benchmarks/profile_render.py [--pool N] ...
 """
 
 from __future__ import annotations
@@ -23,7 +23,6 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--megakernel", action="store_true")
     ap.add_argument("--pool", type=int, default=12, help="log2 pool size")
     ap.add_argument("--bpi", type=int, default=2)
     ap.add_argument("--spp", type=int, default=4)
@@ -58,7 +57,6 @@ def main() -> int:
     camera = Camera.reset()
     cfg = RenderConfig(
         max_depth=args.depth, bounces_per_iter=args.bpi,
-        megakernel=args.megakernel,
     )
     kw = dict(spp=args.spp, cfg=cfg, pool_size=1 << args.pool)
 

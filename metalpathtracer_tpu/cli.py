@@ -39,8 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fov", type=float, default=60.0)
     p.add_argument("--intersector", default="auto",
                    choices=["auto", "mm", "bvh", "brute"],
-                   help="closest-hit backend (auto = MXU matmul kernel for "
-                        "VMEM-sized scenes, BVH traversal beyond)")
+                   help="closest-hit backend (auto = the MXU matmul kernel: "
+                        "VMEM-resident to ~16k tris, HBM-streaming beyond; "
+                        "'bvh' is a study-only jnp traversal, slow on TPU)")
     p.add_argument("--nee", action="store_true", help="next-event estimation")
     p.add_argument("--rr-start", type=int, default=0,
                    help="first Russian-roulette bounce (0 = off)")
@@ -54,9 +55,6 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wavefront lane-pool size (default: auto)")
     p.add_argument("--bounces-per-iter", type=int, default=1,
                    help="wavefront bounces per regeneration cycle")
-    p.add_argument("--megakernel", action="store_true",
-                   help="experimental fused-bounce Pallas megakernel "
-                        "(wavefront only; no NEE)")
     p.add_argument("--checkpoint", default=None,
                    help="progressive checkpoint path (save after each pass)")
     p.add_argument("--resume", action="store_true",
@@ -129,7 +127,6 @@ def main(argv=None) -> int:
         clamp_radiance=args.clamp,
         rr_start=args.rr_start,
         nee=args.nee,
-        megakernel=args.megakernel,
         bounces_per_iter=args.bounces_per_iter,
     )
 

@@ -167,8 +167,8 @@ def render_image_wavefront_sharded(
     traffic is the final framebuffer gather. Bit-identical to the
     single-device wavefront (positional RNG, global pixel ids). Delegates to
     `integrator.trace_wavefront` with a per-shard pixel range, so it honors
-    the RenderConfig knobs that path honors (megakernel, bounces_per_iter,
-    rr_start, ...); `sort_lanes` applies only on the non-megakernel route.
+    the RenderConfig knobs that path honors (bounces_per_iter, rr_start,
+    sort_lanes, ...).
     """
     if spp <= 0:
         raise ValueError(f"spp must be positive, got {spp}")

@@ -41,7 +41,8 @@ class DeviceScene:
     prim_indices: jax.Array  # int32 (P,)
     # MXU triangle-intersection weights (render/pallas/intersect_mm.py):
     # tile-interleaved [wa|wu|wv|wt] blocks, one matmul per tile
-    mm_w: jax.Array  # float32 (12, 4*Tmm)
+    mm_w: jax.Array  # weight slab: bf16 (64, 4*Tmm) in "pack" precision
+    #                  mode (pre-split hi/lo), f32 (16, 4*Tmm) otherwise
     mm_tri_ids: jax.Array  # int32 (Tmm,) column -> original primitive index
     mm_refine: jax.Array  # float32 (Tmm, 16) [v0, e1, e2, n] per column
     mm_tile_box: jax.Array  # float32 (n_tiles, 8) per-tile AABB [lo3,_,hi3,_]
@@ -50,10 +51,6 @@ class DeviceScene:
     sph_radius: jax.Array  # float32 (S,)
     sph_ids: jax.Array  # int32 (S,)
     sph_mat_id: jax.Array  # int32 (S,) material-bank id per sphere
-    # fused-bounce megakernel shading tables (render/pallas/bounce_mk.py)
-    mk_tri_table: jax.Array  # float32 (Tmm, 32)
-    mk_sph_table: jax.Array  # float32 (S, 32)
-    mk_sph_scalars: jax.Array  # float32 (S, 8) [cx,cy,cz,r,...]
     # packed per-primitive tables: ONE gather per bounce instead of many.
     # geom: [p0(3), p1(3), p2(3), prim_type, 0, 0, 0, 0, 0, 0, 0]
     # mat:  [albedo(3), material_type, emission(3), power, fuzz, 0, ...]
@@ -175,14 +172,9 @@ def upload_scene(
     prim_indices = np.zeros(p, np.int32)
     prim_indices[: bvh.prim_indices.shape[0]] = bvh.prim_indices
 
-    from metalpathtracer_tpu.render.pallas.bounce_mk import build_shade_tables
     from metalpathtracer_tpu.render.pallas.intersect_mm import build_weights
 
     w = build_weights(packed.prim_type, packed.p0, packed.p1, packed.p2)
-    shade = build_shade_tables(w, packed)
-    sph_sc = np.zeros((shade["sph_table"].shape[0], 8), np.float32)
-    sph_sc[:, 0:3] = shade["sph_table"][:, 0:3]
-    sph_sc[:, 3] = shade["sph_table"][:, 3]
 
     geom = np.zeros((p, 16), np.float32)
     geom[:, 0:3] = packed.p0
@@ -237,9 +229,6 @@ def upload_scene(
         sph_radius=jax.numpy.asarray(w["sph_radius"]),
         sph_ids=jax.numpy.asarray(w["sph_ids"]),
         sph_mat_id=jax.numpy.asarray(sph_mat_id),
-        mk_tri_table=jax.numpy.asarray(shade["tri_table"]),
-        mk_sph_table=jax.numpy.asarray(shade["sph_table"]),
-        mk_sph_scalars=jax.numpy.asarray(sph_sc),
         geom_table=jax.numpy.asarray(geom),
         mat_table=jax.numpy.asarray(mat),
         prim_mat_id=jax.numpy.asarray(prim_mat_id.astype(np.int32)),

