@@ -24,6 +24,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tris", type=int, default=1_000_000)
+    ap.add_argument("--preset", default=None,
+                    help="use a scene preset (e.g. reference_bunny70k) "
+                    "instead of a random cloud")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=2)
@@ -56,7 +59,11 @@ def main() -> int:
     from metalpathtracer_tpu.scene import presets
 
     t0 = time.perf_counter()
-    host = presets.random_tri_cloud(args.tris, seed=1)
+    if args.preset:
+        host = getattr(presets, args.preset)()
+        args.tris = -1  # reported from the scene below
+    else:
+        host = presets.random_tri_cloud(args.tris, seed=1)
     scene = upload_scene(host)
     print(
         f"scene: {args.tris} tris built+uploaded in "
@@ -66,7 +73,10 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    camera = Camera.look_at((0, 0, 28), (0, 0, 0), vfov_deg=55.0)
+    if args.preset:
+        camera = Camera.reset()  # the reference scene's default view
+    else:
+        camera = Camera.look_at((0, 0, 28), (0, 0, 0), vfov_deg=55.0)
     cfg = RenderConfig(
         max_depth=args.depth, bounces_per_iter=1, intersector=args.intersector
     )

@@ -329,22 +329,35 @@ def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 def _tile_epilogue(block, i, col, best_t, best_i, t_min):
     """Shared VPU epilogue of one tile matmul: acceptance tests
     (u = su/a, v = sv/a, t = st/a — PathTracing.h:143-176, same 1e-5
-    parallel epsilon), per-tile argmin, and the running-best merge."""
+    parallel epsilon), per-tile argmin, and the running-best merge.
+
+    DIVISION-FREE formulation — this epilogue is the kernel's VPU bound
+    (~15 vector ops per tested pair vs the matmul's ~free 43 MXU flops),
+    so every pass counts:
+    - acceptance runs in multiply form on sign-folded determinants
+      (sus >= 0 etc. with sas = |sa|) — algebraically EXACT, tighter than
+      the divided original (no rounding before the compares);
+    - `u <= 1` is dropped: implied by v >= 0 and u + v <= 1;
+    - the candidate t used for tile argmin / best-t pruning comes from a
+      fast approximate reciprocal (the winner's t is re-derived exactly in
+      f32 by the caller's _mt_exact refine, so the approximation can only
+      reorder near-ties — the same class as the tolerated matmul edge
+      flips)."""
     sa = block[:, 0:TILE_P]
     su = block[:, TILE_P : 2 * TILE_P]
     sv = block[:, 2 * TILE_P : 3 * TILE_P]
     st = block[:, 3 * TILE_P : 4 * TILE_P]
 
-    par = jnp.abs(sa) <= TRI_PARALLEL_EPS
-    f = 1.0 / jnp.where(par, 1.0, sa)
-    u = f * su
-    v = f * sv
-    tt = f * st
+    s = jnp.where(sa < 0.0, -1.0, 1.0)
+    sas = sa * s
+    sus = su * s
+    svs = sv * s
+    sts = st * s
     ok = (
-        (~par) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-        & (u + v <= 1.0) & (tt > t_min)
+        (sas > TRI_PARALLEL_EPS) & (sus >= 0.0) & (svs >= 0.0)
+        & (sus + svs <= sas) & (sts > t_min * sas)
     )
-    t_all = jnp.where(ok, tt, _INF)
+    t_all = jnp.where(ok, sts * pl.reciprocal(sas, approx=True), _INF)
 
     # tile argmin: min value, then smallest matching column
     t_best_tile = jnp.min(t_all, axis=1, keepdims=True)
@@ -391,18 +404,21 @@ def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
             # would terminate; j < cnt keeps the trip count exact
             return (j < cnt) & (smin_ref[g, j] <= thr)
 
-        def tile_body(carry, xs=xs, g=g, lb2=lb2):
+        def tile_body(carry, xs=xs, g=g, lb2=lb2, cnt=cnt):
             j, _, best_t, best_i = carry
-            i = lists_ref[g, j]
-            # one fused matmul per tile: [a | su | sv | st]
-            block = _det_matmul_prepped(xs, w_ref[i])
-            best_t, best_i = _tile_epilogue(block, i, col, best_t, best_i,
-                                            t_min)
+            for k in range(TILE_UNROLL_RES):  # consecutive, clamped
+                jj = (jnp.minimum(j + k, cnt - 1)
+                      if TILE_UNROLL_RES > 1 else j)
+                i = lists_ref[g, jj]
+                # one fused matmul per tile: [a | su | sv | st]
+                block = _det_matmul_prepped(xs, w_ref[i])
+                best_t, best_i = _tile_epilogue(block, i, col, best_t,
+                                                best_i, t_min)
             # 2-D shapes for the reduce: a loaded-1-D-reshape feeding
             # compare/select crashes Mosaic layout inference (see
             # _mm_kernel_stream)
             thr = jnp.max(jnp.minimum(best_t.reshape(rows, 128), lb2))
-            return (j + 1, thr, best_t, best_i)
+            return (j + TILE_UNROLL_RES, thr, best_t, best_i)
 
         init = (jnp.int32(0), jnp.max(lb2),
                 jnp.full((CULL_R,), _INF), jnp.full((CULL_R,), -1, jnp.int32))
@@ -417,10 +433,19 @@ def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
 # S x (W_ROWS x 4*TILE_P) of W_DTYPE (4 MB at the defaults). Bigger = fewer
 # DMA batches; smaller = less VMEM next to wide ray blocks.
 STREAM_CACHE_SLOTS = int(os.environ.get("MPT_STREAM_SLOTS", "32"))
-# unroll factor for the per-tile matmul loops: Mosaic's dynamic-bound loops
-# cost ~0.7us/iteration of issue overhead around a ~85ns-of-FLOPs matmul;
-# unrolling lets the compiler software-pipeline consecutive tile matmuls.
-TILE_UNROLL = int(os.environ.get("MPT_TILE_UNROLL", "1")) or None
+# unroll factors for the per-tile matmul loops: Mosaic's dynamic-bound
+# loops cost ~0.25us/iteration of issue overhead around the matmul +
+# epilogue, so the tile loops process U consecutive list positions per
+# iteration (hand-rolled — lax.fori_loop's unroll= needs static bounds).
+# Positions past the end CLAMP to the last valid one; re-testing a tile is
+# idempotent (the epilogue merge is strict <), so duplicates are harmless.
+# Swept on chip (100k cloud, incoherent rays): stream 9278 (U1) -> 7255
+# (U2) -> 6223 (U4) -> 5376 us/call (U8). The RESIDENT kernel's lists are
+# short (bench scene ~6 tiles) and its best-t early exit checks once per
+# chunk, so it stays fine-grained at U2 — deep unroll would pad short
+# lists with duplicates and blunt the exit.
+TILE_UNROLL_STREAM = max(1, int(os.environ.get("MPT_TILE_UNROLL", "8")))
+TILE_UNROLL_RES = max(1, int(os.environ.get("MPT_TILE_UNROLL_RES", "2")))
 
 
 def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
@@ -505,14 +530,26 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
 
         for sg in range(sub):  # static unroll over subgroups
             xs = xp[sg * CULL_R : (sg + 1) * CULL_R, :]
+            # per-SUBGROUP settle: the block-level check above needs all
+            # 1024 lanes done (one straggler forces everyone); checking
+            # each 128-lane subgroup against ITS OWN lanes' bounds lets
+            # settled subgroups skip their lists 8x sooner
+            sl = slice(sg * rows, (sg + 1) * rows)
+            thr_sg = jnp.max(jnp.minimum(bt_ref[sl, :], lb_ref[sl, :]))
+            sg_done = rme_ref[cell, b] > thr_sg
             j0 = starts_ref[sg, b]
-            j1 = jnp.where(settled, j0, starts_ref[sg, b + 1])
+            j1 = jnp.where(settled | sg_done, j0, starts_ref[sg, b + 1])
 
-            def tile_body(j, carry, xs=xs, sg=sg, base=base):
-                sglob = slists_ref[sg, j]
-                i = ulists_ref[urow, sglob]
-                block = _det_matmul_prepped(xs, cache[sglob - base])
-                return _tile_epilogue(block, i, col, *carry, t_min)
+            def chunk_body(c, carry, xs=xs, sg=sg, base=base, j0=j0, j1=j1):
+                jb = j0 + c * TILE_UNROLL_STREAM
+                for k in range(TILE_UNROLL_STREAM):  # clamped dups: harmless
+                    jj = (jnp.minimum(jb + k, j1 - 1)
+                          if TILE_UNROLL_STREAM > 1 else jb)
+                    sglob = slists_ref[sg, jj]
+                    i = ulists_ref[urow, sglob]
+                    block = _det_matmul_prepped(xs, cache[sglob - base])
+                    carry = _tile_epilogue(block, i, col, *carry, t_min)
+                return carry
 
             # Carries init from CONSTANTS and merge with the persisted bests
             # in 2-D AFTER the loop: a (1,128)->(128,) reshaped LOAD feeding
@@ -521,8 +558,9 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
             # constant-init 1-D carries, as in the resident kernel, are fine).
             init = (jnp.full((CULL_R,), _INF),
                     jnp.full((CULL_R,), -1, jnp.int32))
-            best_t, best_i = jax.lax.fori_loop(j0, j1, tile_body, init,
-                                               unroll=TILE_UNROLL)
+            nchunks = ((j1 - j0 + TILE_UNROLL_STREAM - 1)
+                       // TILE_UNROLL_STREAM)
+            best_t, best_i = jax.lax.fori_loop(0, nchunks, chunk_body, init)
             sl = slice(sg * rows, (sg + 1) * rows)
             nt2 = best_t.reshape(rows, 128)
             ni2 = best_i.reshape(rows, 128)
@@ -538,9 +576,13 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
     idx_ref[:, :] = bi_ref[:, :]
 
 
-# above this many triangles the interleaved weight slab stops fitting
-# comfortably in VMEM next to the block temps -> stream tiles from HBM
-VMEM_RESIDENT_MAX_TRIS = 16 * 1024
+# above this many triangles the weight slab stops fitting in VMEM next to
+# the block temps -> stream tiles from HBM. The bf16 pack slab costs
+# 128 KB/tile (512 B/tri), so the 100 MB scoped-VMEM cap admits far more
+# than the round-2 16k default; swept on chip this round.
+VMEM_RESIDENT_MAX_TRIS = int(
+    os.environ.get("MPT_RESIDENT_MAX_TRIS", str(16 * 1024))
+)
 
 
 def _cull_hit_mask(o, d, active, tile_box, t_min):

@@ -131,8 +131,11 @@ def reference_bunny70k(bunny_path: str | None = None) -> HostScene:
     s = reference_default()
     verts, faces = load_obj(bunny_path)
     verts, faces = subdivide(verts, faces, levels=2)
+    # glossy metal (BASELINE config 3: "glossy+specular"); the base scene
+    # carries the specular/diffuse sphere mix
     s.add_mesh(verts, faces, position=(-25, 0, 0), scale=10.0,
-               material=Material(albedo=(0.9, 0.5, 0.3)))
+               material=Material(albedo=(0.9, 0.5, 0.3),
+                                 material_type=1.0, fuzz=0.15))
     return s
 
 

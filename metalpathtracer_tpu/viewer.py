@@ -45,6 +45,13 @@ _MOUSE_ON = "\x1b[?1002h\x1b[?1006h"
 _MOUSE_OFF = "\x1b[?1006l\x1b[?1002l"
 
 
+# partially-received SGR mouse sequence carried across _read_events calls:
+# terminal bytes can straddle the 10 ms per-byte select timeouts, and
+# dropping the partial mid-stream made the leftover digits/';' bytes
+# reappear as spurious key events on the next call (ADVICE r2)
+_sgr_partial: str | None = None
+
+
 def _read_events(timeout: float = 0.0) -> list[tuple]:
     """Non-blocking read of pending input events.
 
@@ -54,7 +61,37 @@ def _read_events(timeout: float = 0.0) -> list[tuple]:
     (ESC [ < b ; x ; y M/m) decode to drag/scroll events the way the
     reference's ControllerView NSEvent handlers would see them.
     """
+    global _sgr_partial
     events: list[tuple] = []
+
+    def read_sgr(seq: str) -> None:
+        """Consume an SGR payload; stash the partial if bytes run dry."""
+        global _sgr_partial
+        while select.select([sys.stdin], [], [], 0.01)[0]:
+            c = sys.stdin.read(1)
+            if c in "Mm":
+                _sgr_partial = None
+                try:
+                    btn_s, x_s, y_s = seq.split(";")
+                    btn = int(btn_s)
+                    x, y = int(x_s), int(y_s)
+                except ValueError:
+                    return
+                if btn & 64:  # scroll wheel
+                    events.append(("scroll", -1 if (btn & 3) == 0 else 1))
+                elif btn & 32:  # motion with button held = drag
+                    events.append(("drag", x, y))
+                else:
+                    events.append(("mouse", btn & 3, x, y, c == "M"))
+                return
+            seq += c
+            if len(seq) > 32:  # malformed stream; stop buffering
+                _sgr_partial = None
+                return
+        _sgr_partial = seq  # bytes straddled the timeout; resume next call
+
+    if _sgr_partial is not None:
+        read_sgr(_sgr_partial)
     while select.select([sys.stdin], [], [], timeout)[0]:
         timeout = 0.0
         ch = sys.stdin.read(1)
@@ -78,24 +115,7 @@ def _read_events(timeout: float = 0.0) -> list[tuple]:
         if ch3 != "<":
             continue
         # SGR mouse: <btn>;<x>;<y>(M=press/motion | m=release)
-        seq = ""
-        while select.select([sys.stdin], [], [], 0.01)[0]:
-            c = sys.stdin.read(1)
-            if c in "Mm":
-                try:
-                    btn_s, x_s, y_s = seq.split(";")
-                    btn = int(btn_s)
-                    x, y = int(x_s), int(y_s)
-                except ValueError:
-                    break
-                if btn & 64:  # scroll wheel
-                    events.append(("scroll", -1 if (btn & 3) == 0 else 1))
-                elif btn & 32:  # motion with button held = drag
-                    events.append(("drag", x, y))
-                else:
-                    events.append(("mouse", btn & 3, x, y, c == "M"))
-                break
-            seq += c
+        read_sgr("")
     return events
 
 
