@@ -35,7 +35,8 @@ def converged(res: int, gate: float, rungs: list[int]) -> int:
     from metalpathtracer_tpu.render import (
         Camera,
         RenderConfig,
-        render_image_wavefront,
+        accumulate_wavefront,
+        init_accum,
         upload_scene,
     )
     from metalpathtracer_tpu.scene import presets
@@ -43,22 +44,37 @@ def converged(res: int, gate: float, rungs: list[int]) -> int:
 
     scene = upload_scene(presets.cornell_spheres())
     cam = Camera.look_at((0, 2.5, 9.0), (0, 2.5, 0), vfov_deg=40.0)
+
+    # Progressive accumulation in fixed-size chunks: spp is baked into the
+    # traced program, so rendering each rung outright would compile a fresh
+    # multi-minute executable per rung per estimator. Chunked accumulation
+    # reuses ONE compiled program per estimator (RNG streams key on
+    # (pixel, sample) via sample_offset, so the chunked estimate is
+    # bit-identical to a monolithic render).
+    chunk = min(rungs[0], 4096)
+    arms = {
+        "ref": (1, RenderConfig(max_depth=32), init_accum(res, res)),
+        "test": (2, RenderConfig(max_depth=32, nee=True, rr_start=4),
+                 init_accum(res, res)),
+    }
     rows = []
+    t0 = time.perf_counter()
+    done = 0
     for spp in rungs:
-        t0 = time.perf_counter()
-        ref_img, _ = render_image_wavefront(
-            scene, cam, res, res, spp, seed=1,
-            cfg=RenderConfig(max_depth=32),
-        )
-        test_img, _ = render_image_wavefront(
-            scene, cam, res, res, spp, seed=2,
-            cfg=RenderConfig(max_depth=32, nee=True, rr_start=4),
-        )
-        err = rmse(np.asarray(test_img), np.asarray(ref_img))
-        dt = time.perf_counter() - t0
+        while done < spp:
+            n = min(chunk, spp - done)
+            for name, (seed, cfg, st) in arms.items():
+                st, _ = accumulate_wavefront(
+                    st, scene, cam, res, res, n, seed, cfg
+                )
+                arms[name] = (seed, cfg, st)
+            done += n
+        ref_img = np.asarray(arms["ref"][2].rgb_sum) / spp
+        test_img = np.asarray(arms["test"][2].rgb_sum) / spp
+        err = rmse(test_img, ref_img)
         rows.append(dict(spp=spp, rmse=round(float(err), 7),
                          rmse_x_sqrt_spp=round(float(err) * spp ** 0.5, 4),
-                         seconds=round(dt, 1)))
+                         seconds=round(time.perf_counter() - t0, 1)))
         print(json.dumps(rows[-1]), file=sys.stderr)
     final = rows[-1]["rmse"]
     # no bias floor: rmse*sqrt(spp) stays ~constant (pure MC decay) — allow
@@ -86,7 +102,12 @@ def main() -> int:
     ap.add_argument("--converged", action="store_true",
                     help="spp-ladder convergence study on a small tile "
                     "(16x16 default res; override with --res)")
-    ap.add_argument("--rungs", type=str, default="4096,16384,65536,262144,1048576")
+    ap.add_argument(
+        "--rungs", type=str,
+        default="16384,131072,1048576,4194304",
+        help="spp ladder; the measured noise constant (~1.0 * spp^-1/2 on "
+        "the 16x16 Cornell tile) crosses the 1e-3 gate near 1M spp",
+    )
     args = ap.parse_args()
     if args.converged:
         res = args.res if args.res != 128 else 16

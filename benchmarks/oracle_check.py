@@ -26,6 +26,10 @@ import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# the cloud leg exists to validate the HBM-STREAMING kernel; the production
+# residency cap (128k tris) would route a 100k cloud resident, so pin the
+# cap below it for this gate (must be set before the kernel module imports)
+os.environ.setdefault("MPT_RESIDENT_MAX_TRIS", "16384")
 
 
 def _ray_batches(n, seed, lo, hi, rng_np):

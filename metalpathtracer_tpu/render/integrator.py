@@ -599,9 +599,17 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     def body(st):
         fb = st.pop("fb")
         next_item = st.pop("next_item")
-        pend_idx = jnp.full((pool,), n_pix, jnp.uint32)
-        pend_rgb = jnp.zeros((pool, 3), jnp.float32)
-        for _ in range(flush_every):
+
+        # One ADVANCE instance traced inside a fori_loop instead of a
+        # Python unroll: the unrolled body multiplied the compiled program
+        # by flush_every advance graphs (each holding the full Pallas
+        # kernel + regen machinery), and compile wall-time is a tracked
+        # budget (VERDICT r2 #9). The pending-bank slots ride the loop
+        # carry — each lane banks at most once per flush_every window (see
+        # the cadence bound above), so `where(bank, ...)` still collects
+        # every bank exactly once.
+        def one_advance(_, carry):
+            st, pend_idx, pend_rgb, next_item = carry
             st, path_done, more, bank = advance(st)
             pend_idx = jnp.where(
                 bank, st["item"] % jnp.uint32(n_pix), pend_idx
@@ -618,6 +626,13 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 next_item + jnp.sum(bank, dtype=jnp.uint32),
                 jnp.uint32(total),
             )
+            return (st, pend_idx, pend_rgb, next_item)
+
+        st, pend_idx, pend_rgb, next_item = jax.lax.fori_loop(
+            0, flush_every, one_advance,
+            (st, jnp.full((pool,), n_pix, jnp.uint32),
+             jnp.zeros((pool, 3), jnp.float32), next_item),
+        )
         # NOTE (ADVICE r2): with unique_indices=True every non-banked lane
         # shares the out-of-bounds index n_pix under mode="drop" — XLA
         # documents duplicate indices under unique_indices as UB, but
@@ -736,9 +751,11 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     width_now = pool
     min_w = min(pool, 1024)  # one intersection block; narrower just pads
     while width_now > min_w:
-        # quarter steps: each stage is a separately compiled while-loop, so
-        # fewer/bigger shrinks keep compile size down for large pools
-        nxt = max(width_now // 4, min_w)
+        # 16x steps: each stage is a separately compiled while-loop holding
+        # a full advance graph, so the shrink factor directly multiplies
+        # compile size; the drain is a tiny share of render time at
+        # production item counts, so coarse stages cost little wall time
+        nxt = max(width_now // 16, min_w)
         drain = drain_stage(drain, nxt)
         fb, drain = flush(fb, drain)
         live_first = jnp.argsort(~drain["alive"])  # stable: live lanes first

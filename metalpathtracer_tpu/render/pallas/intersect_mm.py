@@ -578,10 +578,12 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
 
 # above this many triangles the weight slab stops fitting in VMEM next to
 # the block temps -> stream tiles from HBM. The bf16 pack slab costs
-# 128 KB/tile (512 B/tri), so the 100 MB scoped-VMEM cap admits far more
-# than the round-2 16k default; swept on chip this round.
+# 128 KB/tile (512 B/tri), so the 100 MB scoped-VMEM cap admits ~200k tris;
+# 128k keeps margin for the ray-block temps. Chip-validated at 79,488 tris
+# (reference_bunny70k: resident 3.79 vs streaming 3.86 Mrays/s — compute
+# parity, but the resident program compiles 2.6x faster).
 VMEM_RESIDENT_MAX_TRIS = int(
-    os.environ.get("MPT_RESIDENT_MAX_TRIS", str(16 * 1024))
+    os.environ.get("MPT_RESIDENT_MAX_TRIS", str(128 * 1024))
 )
 
 
@@ -723,7 +725,14 @@ def _cull_stream_lists(x, active, tile_box, t_min):
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
-def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool):
+def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
+                       interpret: bool):
+    """occ_t (n,) f32: per-lane occlusion bound from primitives already
+    intersected OUTSIDE this kernel (the exact sphere pass) — a tile whose
+    entry distance exceeds it cannot produce the winning hit, so it folds
+    into the lane relevance bound for the best-t prune (the same role the
+    running closest-t plays across node kinds in the reference's BVH
+    traversal, PathTracing.h:102). +inf disables."""
     n = x.shape[0]
     n_tiles = w_all.shape[0]  # (n_tiles, W_ROWS, 4*TILE_P)
     grid = (n // BLOCK_R,)
@@ -749,6 +758,7 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
         slists, starts, ulists, ucounts, rme, lane_bound, scounts = (
             _cull_stream_lists(x, active, tile_box, t_min)
         )
+        lane_bound = jnp.minimum(lane_bound, occ_t)
         nbat = starts.shape[1] - 1
         kernel = functools.partial(_mm_kernel_stream, t_min=t_min)
         # Mosaic blocked-SMEM specs need the last two block dims divisible
@@ -789,6 +799,7 @@ def _tri_hit_mm_padded(x, active, w_all, tile_box, t_min: float, interpret: bool
         lists, counts, smin, lane_bound = _cull_tile_lists(
             x, active, tile_box, t_min, block_r=CULL_R
         )
+        lane_bound = jnp.minimum(lane_bound, occ_t)
         kernel = functools.partial(_mm_kernel, t_min=t_min)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -913,12 +924,18 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
             act = jnp.ones((n, 1), jnp.float32)
         else:
             act = active.astype(jnp.float32)[:, None]
+        # the exact sphere pass already bounds the winner: a tile whose
+        # entry exceeds the lane's sphere hit can't matter (best-t prune
+        # across primitive kinds, like the reference's single traversal)
+        occ = t_s
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, NUM_FEATURES), jnp.float32)])
             act = jnp.concatenate([act, jnp.zeros((pad, 1), jnp.float32)])
+            occ = jnp.concatenate([occ, jnp.full((pad,), jnp.inf)])
         interpret = jax.default_backend() == "cpu"
         t_t, col, tile_passes = _tri_hit_mm_padded(
-            x, act, scene.mm_w, scene.mm_tile_box, float(t_min), interpret,
+            x, act, occ, scene.mm_w, scene.mm_tile_box, float(t_min),
+            interpret,
         )
         t_t, col = t_t[:n], col[:n]
         ccol = jnp.maximum(col, 0)

@@ -165,7 +165,7 @@ def _frame_to_ansi(img: np.ndarray) -> str:
     return out[:-1].decode("utf-8")  # drop the trailing newline
 
 
-def run_viewer(scene_path: str, width: int = 128, height: int = 72,
+def run_viewer(scene_path: str, width: int = 512, height: int = 288,
                spp_per_frame: int = 1, max_depth: int = 8, seed: int = 0,
                max_frames: int | None = None, fit_terminal: bool = False,
                integrator: str = "wavefront",
@@ -237,7 +237,7 @@ def run_viewer(scene_path: str, width: int = 128, height: int = 72,
                 pending, rays = accumulate_wavefront(
                     state, scene, cam, width, height, spp_per_frame,
                     jnp.uint32(seed), cfg,
-                    pool_size=min(4096, width * height * spp_per_frame),
+                    pool_size=min(1 << 14, width * height * spp_per_frame),
                 )
             else:
                 pending = accumulate(
@@ -358,8 +358,8 @@ def main(argv=None) -> int:
 
     p = argparse.ArgumentParser(description="interactive terminal viewer")
     p.add_argument("--scene", required=True)
-    p.add_argument("--width", type=int, default=128)
-    p.add_argument("--height", type=int, default=72)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=288)
     p.add_argument("--spp-per-frame", type=int, default=1)
     p.add_argument("--max-depth", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)

@@ -86,14 +86,16 @@ def test_auto_always_selects_mm():
     assert not hasattr(integrator, "MM_MAX_PRIMS")
 
 
-def test_mm_streaming_large_mesh():
-    # >24k tris routes through the HBM-streaming kernel (double-buffered
-    # tile DMA); must agree with brute force exactly on hit ids.
-    from metalpathtracer_tpu.render.pallas.intersect_mm import (
-        VMEM_RESIDENT_MAX_TRIS,
-    )
+def test_mm_streaming_large_mesh(monkeypatch):
+    # Force the HBM-streaming kernel (batched union-DMA slot cache) by
+    # lowering the residency cap below this scene — the production cap now
+    # admits ~128k tris resident, so a test-sized mesh must opt in; the
+    # streaming kernel must agree with brute force exactly on hit ids.
+    from metalpathtracer_tpu.render.pallas import intersect_mm
     from metalpathtracer_tpu.scene import HostScene, Material
     from metalpathtracer_tpu.scene.procgen import icosphere
+
+    monkeypatch.setattr(intersect_mm, "VMEM_RESIDENT_MAX_TRIS", 16 * 1024)
 
     v, f = icosphere(5, radius=2.0)  # 20480 tris
     s = HostScene()
@@ -101,7 +103,7 @@ def test_mm_streaming_large_mesh():
     s.add_mesh(v, f, position=(4, 0, -8), scale=0.8,
                material=Material(albedo=(0.9, 0.2, 0.2)))
     scene = upload_scene(s)
-    assert scene.num_tris > VMEM_RESIDENT_MAX_TRIS  # streaming path engaged
+    assert scene.num_tris > intersect_mm.VMEM_RESIDENT_MAX_TRIS  # streams
 
     # rays aimed at the first mesh from a small origin cloud
     r = np.random.default_rng(11)
