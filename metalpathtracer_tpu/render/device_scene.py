@@ -48,6 +48,9 @@ class DeviceScene:
     mm_tri_ids: jax.Array  # int32 (Tmm,) column -> original primitive index
     mm_refine: jax.Array  # float32 (Tmm, 16) [v0, e1, e2, n] per column
     mm_tile_box: jax.Array  # float32 (n_tiles, 8) per-tile AABB [lo3,_,hi3,_]
+    # (32, 8) coarse AABBs over contiguous Morton tile-id ranges: the
+    # wavefront's tile-set-signature sort key (one u32 bit per coarse box)
+    mm_coarse_box: jax.Array
     # sphere SoA for the exact sphere pass
     sph_center: jax.Array  # float32 (S, 3)
     sph_radius: jax.Array  # float32 (S,)
@@ -84,6 +87,28 @@ class DeviceScene:
     max_depth: int = dataclasses.field(metadata=dict(static=True))
     num_tris: int = dataclasses.field(metadata=dict(static=True))
     num_lights: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _coarse_boxes(tile_box: np.ndarray, n_coarse: int = 32) -> np.ndarray:
+    """Merge the per-tile AABBs into <=32 coarse boxes over CONTIGUOUS tile
+    id ranges (tiles are Morton-ordered, so ranges are spatially compact).
+    One slab test per coarse box gives each ray a u32 tile-set signature —
+    the wavefront pool's sort key (integrator sort_lanes): lanes that will
+    need the same tiles become pool neighbors, which is what makes the
+    per-128-lane subgroup culling bite for bounced rays. Empty/padding
+    slots get never-hit boxes (lo=+inf, hi=-inf)."""
+    nt = tile_box.shape[0]
+    out = np.zeros((n_coarse, 8), np.float32)
+    out[:, 0:3] = np.inf
+    out[:, 4:7] = -np.inf
+    group = max(1, -(-nt // n_coarse))
+    for c in range(min(n_coarse, -(-nt // group))):
+        a, b = c * group, min((c + 1) * group, nt)
+        if a >= nt:
+            break
+        out[c, 0:3] = tile_box[a:b, 0:3].min(axis=0)
+        out[c, 4:7] = tile_box[a:b, 4:7].max(axis=0)
+    return out
 
 
 def _build_light_table(packed: PackedScene) -> dict:
@@ -227,6 +252,7 @@ def upload_scene(
         mm_tri_ids=jax.numpy.asarray(w["tri_ids"]),
         mm_refine=jax.numpy.asarray(w["tri_refine"]),
         mm_tile_box=jax.numpy.asarray(w["tile_box"]),
+        mm_coarse_box=jax.numpy.asarray(_coarse_boxes(w["tile_box"])),
         sph_center=jax.numpy.asarray(w["sph_center"]),
         sph_radius=jax.numpy.asarray(w["sph_radius"]),
         sph_ids=jax.numpy.asarray(w["sph_ids"]),

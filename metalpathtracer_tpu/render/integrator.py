@@ -60,6 +60,15 @@ class RenderConfig:
     # Ignored for triangle-free scenes (nothing to cull). Positional RNG
     # makes the estimate invariant to any lane permutation.
     sort_lanes: bool = True
+    # pool sort key: "morton" (default) = origin-Morton + direction octant.
+    # "tileset" sorts by a 32-bit coarse tile-set signature (one slab-test
+    # bit per merged tile-range AABB) — it sounded like the quantity the
+    # cull consumes, but MEASURED 16.3 vs 19.2 Mrays/s on the bench: u32
+    # lexicographic order clusters by the HIGHEST set bit (the farthest
+    # range), scattering lanes that share near ranges, and the signature
+    # discards the origin locality the entry-ordered early exit feeds on.
+    # Kept selectable as the documented negative result.
+    sort_key: str = "morton"
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
     # next-event estimation: one flux-weighted light sample per diffuse
@@ -88,7 +97,7 @@ REFERENCE_CONFIG = RenderConfig(
 )
 
 
-def _trace_rays(scene, o, d, cfg, active=None):
+def _trace_rays(scene, o, d, cfg, active=None, occ_t=None):
     """Closest hit + surface frame: (t, idx, normal, front_face, mat_id,
     tile_passes). mat_id is the winner's material-bank id when the
     intersector provides it fused (the mm path does — zero extra gathers),
@@ -110,7 +119,8 @@ def _trace_rays(scene, o, d, cfg, active=None):
             closest_hit_mm_full,
         )
 
-        return closest_hit_mm_full(scene, o, d, T_MIN, active=active)
+        return closest_hit_mm_full(scene, o, d, T_MIN, active=active,
+                                   occ_t=occ_t)
     if kind == "bvh":
         t, idx = closest_hit_bvh(scene, o, d, T_MIN)
     elif kind == "brute":
@@ -319,8 +329,11 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_pdf,
         cos_s = vm.dot(normal, ldir)
         cand = hit_live & is_diffuse & (cos_s > 0.0) & lvalid & ~emissive
         s_o = point + (1e-3) * normal
+        # shadow query: hits beyond the light distance are irrelevant, so
+        # the kernel prunes tiles past it (any-hit-style early out; the
+        # 1.001 slack keeps the light's own tile unpruned at the boundary)
         st, sidx, _, _, _, s_passes = _trace_rays(
-            scene, s_o, ldir, cfg, active=cand
+            scene, s_o, ldir, cfg, active=cand, occ_t=ldist * 1.001
         )
         tile_passes = tile_passes + s_passes
         rays_counted = rays_counted + jnp.sum(cand, dtype=jnp.int32)
@@ -665,23 +678,46 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 v = (v | (v << 2)) & jnp.uint32(0x09249249)
                 return v
 
-            morton = (
-                spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
-                | (spread3(q[:, 2]) << 2)
-            )
-            octant = (
-                (d[:, 0] > 0).astype(jnp.uint32)
-                | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
-                | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
-            )
-            # origin-major key: octant-major measured 11.34 vs 12.43
-            # Mrays/s — the slab cull is origin-dominated, so origin
-            # locality is what shrinks subgroup lists
-            key = (
-                jnp.where(alive, jnp.uint32(0), jnp.uint32(1) << 31)
-                | (morton << 3)
-                | octant
-            )
+            if cfg.sort_key == "tileset":
+                # signature key: one slab-test bit per coarse tile-range
+                # AABB (the EXACT quantity the subgroup cull unions — rays
+                # with equal signatures cost their subgroup exactly their
+                # shared tiles). The mask is built bit 0 = coarse range 0
+                # (low Morton tiles), so lexicographic u32 order also
+                # groups by nearest-range first.
+                from metalpathtracer_tpu.render.pallas.intersect_mm import (
+                    _cull_hit_mask,
+                )
+
+                chit, _ = _cull_hit_mask(
+                    o, d, alive.astype(jnp.float32),
+                    scene.mm_coarse_box, T_MIN,
+                )  # (32, n) bool
+                bits = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+                key = jnp.sum(
+                    chit.astype(jnp.uint32) * bits[:, None], axis=0,
+                    dtype=jnp.uint32,
+                )
+                # dead lanes and no-tile lanes both map to 0 — they do no
+                # kernel work either way, so sharing a cluster is free
+            else:
+                morton = (
+                    spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                    | (spread3(q[:, 2]) << 2)
+                )
+                octant = (
+                    (d[:, 0] > 0).astype(jnp.uint32)
+                    | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                    | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
+                )
+                # origin-major key: octant-major measured 11.34 vs 12.43
+                # Mrays/s — the slab cull is origin-dominated, so origin
+                # locality is what shrinks subgroup lists
+                key = (
+                    jnp.where(alive, jnp.uint32(0), jnp.uint32(1) << 31)
+                    | (morton << 3)
+                    | octant
+                )
             perm = jnp.argsort(key)
             fpack = jnp.concatenate(
                 [st["o"], st["d"], st["acc"], st["light"], st["tp"],

@@ -899,7 +899,7 @@ def _sphere_hit_exact(scene, o, d, t_min):
     return t_best, idx, center, mat_id
 
 
-def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
+def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None, occ_t=None):
     """Closest hit: MXU triangle kernel + exact sphere pass, merged.
 
     Returns (t, idx, normal, front_face, mat_id, tile_passes) — the
@@ -909,6 +909,12 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
     further geometry or id gathers. idx is -1 on miss (normal/mat_id are
     garbage there; callers mask). `active` (N,) bool lets the kernel skip
     ray blocks whose lanes have all terminated (wavefront early-out).
+
+    `occ_t` (N,) optional: per-lane caller-known occlusion bound — hits
+    beyond it cannot matter to the caller (e.g. a shadow ray's light
+    distance). Tiles entirely beyond the bound are pruned; the returned
+    closest hit is exact for t <= occ_t and unspecified-but-farther
+    beyond it.
     """
     from metalpathtracer_tpu.core import vecmath as vm
 
@@ -927,7 +933,7 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None):
         # the exact sphere pass already bounds the winner: a tile whose
         # entry exceeds the lane's sphere hit can't matter (best-t prune
         # across primitive kinds, like the reference's single traversal)
-        occ = t_s
+        occ = t_s if occ_t is None else jnp.minimum(t_s, occ_t)
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, NUM_FEATURES), jnp.float32)])
             act = jnp.concatenate([act, jnp.zeros((pad, 1), jnp.float32)])
