@@ -22,8 +22,14 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sort", action="store_true",
-                    help="cfg.sort_lanes origin-locality pool sorting")
+    ap.add_argument("--sort", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="cfg.sort_lanes pool sorting (DEFAULT ON — the "
+                    "production default; round-3 sweeps measured with the "
+                    "old store_true default silently compared unsorted "
+                    "configs)")
+    ap.add_argument("--sort-key", default="morton",
+                    choices=("morton", "tileset", "neartile"))
     ap.add_argument("--pool", type=int, default=12, help="log2 pool size")
     ap.add_argument("--bpi", type=int, default=2)
     ap.add_argument("--spp", type=int, default=4)
@@ -65,6 +71,7 @@ def main() -> int:
         max_depth=args.depth,
         bounces_per_iter=args.bpi,
         sort_lanes=args.sort,
+        sort_key=args.sort_key,
     )
 
     kw = dict(spp=args.spp, cfg=cfg, pool_size=1 << args.pool)

@@ -678,7 +678,39 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 v = (v | (v << 2)) & jnp.uint32(0x09249249)
                 return v
 
-            if cfg.sort_key == "tileset":
+            if cfg.sort_key == "neartile":
+                # nearest-passing-FINE-tile major key: subgroups then share
+                # their first entry-ordered tile, which is exactly when the
+                # while-loop best-t exit fires after ~1 tile. Morton origin
+                # + octant ride as the minor key to keep spatial locality
+                # within equal-tile clusters.
+                from metalpathtracer_tpu.render.pallas.intersect_mm import (
+                    _cull_hit_mask,
+                )
+
+                fhit, fent = _cull_hit_mask(
+                    o, d, alive.astype(jnp.float32),
+                    scene.mm_tile_box, T_MIN,
+                )  # (nt, n)
+                ent = jnp.where(fhit, fent, jnp.inf)
+                near = jnp.argmin(ent, axis=0).astype(jnp.uint32)
+                none = ~jnp.any(fhit, axis=0)
+                nt_ = scene.mm_tile_box.shape[0]
+                shift = max(0, nt_.bit_length() - 10)
+                near = jnp.where(
+                    none, jnp.uint32(1023), (near >> shift).astype(jnp.uint32)
+                )
+                morton = (
+                    spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                    | (spread3(q[:, 2]) << 2)
+                )
+                octant = (
+                    (d[:, 0] > 0).astype(jnp.uint32)
+                    | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                    | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
+                )
+                key = (near << 18) | ((morton & jnp.uint32(0x7FFF)) << 3) | octant
+            elif cfg.sort_key == "tileset":
                 # signature key: one slab-test bit per coarse tile-range
                 # AABB (the EXACT quantity the subgroup cull unions — rays
                 # with equal signatures cost their subgroup exactly their

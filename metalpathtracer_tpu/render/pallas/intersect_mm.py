@@ -67,8 +67,14 @@ TILE_P = int(os.environ.get("MPT_TILE_P", "256"))
 # list). One list per 1024 incoherent lanes tests the UNION of their tiles
 # (the bounced-ray diagnostic in docs/PERFORMANCE.md measured 20/20 tiles
 # passing); finer lists cut matmul pairs wherever rays share any locality.
-# Must divide BLOCK_R and be a multiple of 128.
-CULL_R = int(os.environ.get("MPT_CULL_R", "128"))
+# Must divide BLOCK_R and be a multiple of 128. The RESIDENT kernel runs
+# 256 with U4 chunks: the (256, 64) matmul amortizes MXU weight loads and
+# with pool sorting the coarser union barely grows (chip: 21.1 vs 19.3
+# Mrays/s at 128/U2 — the round-2 "128 is best" sweep was re-run sorted
+# this round and flipped). The STREAMING kernel stays at 128: its blocked
+# SMEM list specs need >= 8 subgroups per 1024-lane block.
+CULL_R = int(os.environ.get("MPT_CULL_R", "256"))
+CULL_R_STREAM = int(os.environ.get("MPT_CULL_R_STREAM", "128"))
 # Mosaic's default scoped-VMEM budget is 16 MB, but a v5e core has 128 MiB
 # of physical VMEM; raising the cap lets the det tile use wide ray blocks.
 VMEM_LIMIT_BYTES = int(os.environ.get("MPT_VMEM_LIMIT_MB", "100")) * (1 << 20)
@@ -445,7 +451,7 @@ STREAM_CACHE_SLOTS = int(os.environ.get("MPT_STREAM_SLOTS", "32"))
 # chunk, so it stays fine-grained at U2 — deep unroll would pad short
 # lists with duplicates and blunt the exit.
 TILE_UNROLL_STREAM = max(1, int(os.environ.get("MPT_TILE_UNROLL", "8")))
-TILE_UNROLL_RES = max(1, int(os.environ.get("MPT_TILE_UNROLL_RES", "2")))
+TILE_UNROLL_RES = max(1, int(os.environ.get("MPT_TILE_UNROLL_RES", "4")))
 
 
 def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
@@ -480,10 +486,10 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
     urow = jax.lax.rem(cell, 8)  # ulists rows ride in groups of 8 (SMEM
     # block specs need >= 8 sublanes; the index_map delivers rows
     # [8*(cell//8), ...) and the kernel picks its own)
-    sub = BLOCK_R // CULL_R
-    rows = CULL_R // 128
+    sub = BLOCK_R // CULL_R_STREAM
+    rows = CULL_R_STREAM // 128
     S = STREAM_CACHE_SLOTS
-    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R, TILE_P), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R_STREAM, TILE_P), 1)
     xp = _prep_x(x_ref[:])
 
     bt_ref[:, :] = jnp.full(bt_ref.shape, _INF)
@@ -529,7 +535,7 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
         jax.lax.fori_loop(0, m, wait_one, 0)
 
         for sg in range(sub):  # static unroll over subgroups
-            xs = xp[sg * CULL_R : (sg + 1) * CULL_R, :]
+            xs = xp[sg * CULL_R_STREAM : (sg + 1) * CULL_R_STREAM, :]
             # per-SUBGROUP settle: the block-level check above needs all
             # 1024 lanes done (one straggler forces everyone); checking
             # each 128-lane subgroup against ITS OWN lanes' bounds lets
@@ -556,8 +562,8 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
             # the epilogue's compare/select crashes Mosaic layout inference
             # ("Check failed: arr.size() >= layout_rank" — bisected on chip;
             # constant-init 1-D carries, as in the resident kernel, are fine).
-            init = (jnp.full((CULL_R,), _INF),
-                    jnp.full((CULL_R,), -1, jnp.int32))
+            init = (jnp.full((CULL_R_STREAM,), _INF),
+                    jnp.full((CULL_R_STREAM,), -1, jnp.int32))
             nchunks = ((j1 - j0 + TILE_UNROLL_STREAM - 1)
                        // TILE_UNROLL_STREAM)
             best_t, best_i = jax.lax.fori_loop(0, nchunks, chunk_body, init)
@@ -678,14 +684,14 @@ def _cull_stream_lists(x, active, tile_box, t_min):
     o, d = x[:, 6:9], x[:, 0:3]
     n = o.shape[0]
     nt = tile_box.shape[0]
-    n_sub = n // CULL_R
+    n_sub = n // CULL_R_STREAM
     nb = n // BLOCK_R
-    sub = BLOCK_R // CULL_R
+    sub = BLOCK_R // CULL_R_STREAM
     S = STREAM_CACHE_SLOTS
     hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min)
     ent = jnp.where(hit, enter, _INF)  # (nt, n)
     lane_bound = jnp.max(jnp.where(hit, enter, -_INF), axis=0)  # (n,)
-    sgm = hit.reshape(nt, n_sub, CULL_R).any(axis=2).T  # (n_sub, nt)
+    sgm = hit.reshape(nt, n_sub, CULL_R_STREAM).any(axis=2).T  # (n_sub, nt)
     bent = ent.reshape(nt, nb, BLOCK_R).min(axis=2).T  # (nb, nt) block entry
     ublk = sgm.reshape(nb, sub, nt).any(axis=1)  # (nb, nt)
     ucounts = ublk.sum(axis=1).astype(jnp.int32)
@@ -736,7 +742,7 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     n = x.shape[0]
     n_tiles = w_all.shape[0]  # (n_tiles, W_ROWS, 4*TILE_P)
     grid = (n // BLOCK_R,)
-    sub = BLOCK_R // CULL_R
+    sub = BLOCK_R // CULL_R_STREAM  # stream-branch spec grouping
 
     stream = (n_tiles * TILE_P) > VMEM_RESIDENT_MAX_TRIS
     x_spec = pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i: (i, 0),
@@ -835,8 +841,9 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     # pairs") — the MFU numerator (each passing subgroup-list entry runs
     # CULL_R x TILE_P Moller-Trumbore tests on the MXU). f32 mega-pair
     # units keep long renders well inside float precision.
+    pair_lanes = CULL_R_STREAM if stream else CULL_R
     tile_passes = jnp.sum(pair_counts).astype(jnp.float32) * (
-        CULL_R * TILE_P / float(1 << 20)
+        pair_lanes * TILE_P / float(1 << 20)
     )
     return t.reshape(n), idx.reshape(n), tile_passes
 
