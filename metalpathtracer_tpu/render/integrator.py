@@ -60,15 +60,15 @@ class RenderConfig:
     # Ignored for triangle-free scenes (nothing to cull). Positional RNG
     # makes the estimate invariant to any lane permutation.
     sort_lanes: bool = True
-    # pool sort key: "morton" (default) = origin-Morton + direction octant.
-    # "tileset" sorts by a 32-bit coarse tile-set signature (one slab-test
-    # bit per merged tile-range AABB) — it sounded like the quantity the
-    # cull consumes, but MEASURED 16.3 vs 19.2 Mrays/s on the bench: u32
-    # lexicographic order clusters by the HIGHEST set bit (the farthest
-    # range), scattering lanes that share near ranges, and the signature
-    # discards the origin locality the entry-ordered early exit feeds on.
-    # Kept selectable as the documented negative result.
-    sort_key: str = "morton"
+    # pool sort key. "tileset" (default) = 32-bit coarse tile-set
+    # signature (one slab-test bit per merged tile-range AABB — grouping
+    # lanes by the tiles they will actually demand); "neartile" =
+    # nearest-passing-fine-tile id major + Morton minor; "morton" =
+    # round-2's origin-Morton + direction octant proxy. Swept on chip at
+    # the production CULL_R 256 / U4 kernel: tileset 21.6, neartile 21.5,
+    # morton 21.2 Mrays/s. (An earlier "tileset loses" reading was the
+    # perf_probe unsorted-default artifact — see CLAUDE.md.)
+    sort_key: str = "tileset"
     clamp_radiance: bool = False  # reference's per-sample [0,1] clamp
     rr_start: int = 0  # 0 = off; else first bounce eligible for roulette
     # next-event estimation: one flux-weighted light sample per diffuse
