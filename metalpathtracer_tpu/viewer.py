@@ -141,11 +141,42 @@ _DIGIT_POS = _cell_digit_positions()  # 6 triplets: fg r,g,b then bg r,g,b
 assert len(_DIGIT_POS) == 6
 
 
-def _frame_to_ansi(img: np.ndarray) -> str:
-    """(H, W, 3) linear [0,1] → truecolor half-block string (H/2 rows)."""
-    from metalpathtracer_tpu.io.png import linear_to_srgb
+_srgb_u8_jit = None  # lazily-jitted (jax import is deferred in this module)
 
-    rgb = (linear_to_srgb(img) * 255 + 0.5).astype(np.uint16)
+
+def _srgb_u8(state):
+    """Resolve AccumState to sRGB uint8 ON DEVICE (jitted — eager ops
+    each cost a ~25 ms tunnel RPC): the tunnel then moves (H, W, 3) bytes
+    per frame instead of f32 — 4x less fetch latency at 512x288."""
+    global _srgb_u8_jit
+    if _srgb_u8_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        def resolve(state):
+            img = state.rgb_sum / jnp.maximum(state.spp, 1).astype(
+                jnp.float32
+            )
+            img = jnp.clip(img, 0.0, 1.0)
+            srgb = jnp.where(
+                img <= 0.0031308, img * 12.92,
+                1.055 * jnp.power(img, 1 / 2.4) - 0.055,
+            )
+            return (srgb * 255 + 0.5).astype(jnp.uint8)
+
+        _srgb_u8_jit = jax.jit(resolve)
+    return _srgb_u8_jit(state)
+
+
+def _frame_to_ansi(img: np.ndarray) -> str:
+    """(H, W, 3) linear [0,1] f32 OR pre-resolved sRGB uint8 (from
+    `_srgb_u8`) → truecolor half-block string (H/2 rows)."""
+    if img.dtype == np.uint8:
+        rgb = img.astype(np.uint16)
+    else:
+        from metalpathtracer_tpu.io.png import linear_to_srgb
+
+        rgb = (linear_to_srgb(img) * 255 + 0.5).astype(np.uint16)
     h = rgb.shape[0] & ~1
     w = rgb.shape[1]
     vals = np.concatenate([rgb[0:h:2], rgb[1:h:2]], axis=-1)  # (h/2, w, 6)
@@ -187,7 +218,9 @@ def run_viewer(scene_path: str, width: int = 512, height: int = 288,
 
     scene = upload_scene(load_scene_xml(scene_path))
     cam = Camera.reset()
-    cfg = RenderConfig(max_depth=max_depth)
+    # bpi=2: the per-iteration regen machinery amortizes over two bounce
+    # steps (round-2 sweep: bpi 1 measured ~1.6x slower end to end)
+    cfg = RenderConfig(max_depth=max_depth, bounces_per_iter=2)
     state = init_accum(width, height)
     inputs = InputState()
     use_wavefront = integrator == "wavefront"
@@ -217,6 +250,17 @@ def run_viewer(scene_path: str, width: int = 512, height: int = 288,
         sys.stdout.flush()
     frames = 0
     drag_last: tuple[int, int] | None = None
+    out_buf: str | None = None  # frame N ANSI text, written while
+    # frame N+1 renders on the device (host/terminal work overlaps the
+    # dispatch — the loop is software-pipelined one frame deep)
+    # Display decoupling: a 512x288 truecolor frame is ~3 MB of escape
+    # codes; slow terminals/SSH cannot drain that every frame and a
+    # blocking write would stall the RENDER loop behind the terminal
+    # (measured: pty writes stretching 0.9 -> 18 s/frame while the device
+    # idles). Frames are emitted only when the terminal has kept up —
+    # rendering/accumulation NEVER waits for display.
+    emit_interval = 0.0  # adaptive: ~1.5x the last measured write time
+    last_emit = 0.0
     try:
         while max_frames is None or frames < max_frames:
             # resize → rebuild accumulation at the new size AND reset the
@@ -239,6 +283,15 @@ def run_viewer(scene_path: str, width: int = 512, height: int = 288,
                     jnp.uint32(seed), cfg,
                     pool_size=min(1 << 14, width * height * spp_per_frame),
                 )
+                t_disp = time.perf_counter()
+                if out_buf is not None:  # overlap: draw PREV frame now
+                    sys.stdout.write(out_buf)
+                    sys.stdout.flush()
+                    out_buf = None
+                    # adapt the display rate to the terminal's drain speed
+                    emit_interval = 1.5 * (time.perf_counter() - t_disp)
+                    last_emit = t_disp
+                t_write = time.perf_counter()
             else:
                 pending = accumulate(
                     state, scene, cam, width, height, spp_per_frame,
@@ -314,14 +367,24 @@ def run_viewer(scene_path: str, width: int = 512, height: int = 288,
             if quit_req:
                 return
 
+            t_poll = time.perf_counter()
             state = pending
-            img = np.asarray(to_image(state))
+            # device-side sRGB resolve: the tunnel moves uint8, 4x less
+            # than the f32 image (to_image stays for PNG saves)
+            img = np.asarray(_srgb_u8(state))
             dt = time.perf_counter() - t0
+            if os.environ.get("MPT_VIEWER_TRACE"):
+                print(
+                    f"frame {frames}: write {t_write - t_disp:.3f}s "
+                    f"poll {t_poll - t_write:.3f}s "
+                    f"fetch {time.perf_counter() - t_poll:.3f}s",
+                    file=sys.stderr,
+                )
 
             if save_req:
                 os.makedirs("runs", exist_ok=True)
                 out = f"runs/viewer_{int(time.time())}.png"
-                write_png(out, img)
+                write_png(out, np.asarray(to_image(state)))
                 sys.stdout.write(f"\x1b[H\x1b[2Ksaved {out}\n")
 
             # --- apply the inputs gathered during the render --------------
@@ -336,15 +399,20 @@ def run_viewer(scene_path: str, width: int = 512, height: int = 288,
                 f" | {int(rays) / dt / 1e6:6.2f} Mrays/s" if rays is not None
                 else ""
             )
-            sys.stdout.write("\x1b[H")  # home
-            sys.stdout.write(_frame_to_ansi(img))
-            sys.stdout.write(
-                f"\n\x1b[0m\x1b[2K{int(state.spp)} spp | "
-                f"{1.0 / max(dt, 1e-9):5.1f} fps{mrays} | "
-                f"drag rotate, wheel zoom, wasd/space/c move, +/- fov, "
-                f"r reset, p png, q quit"
-            )
-            sys.stdout.flush()
+            last = max_frames is not None and frames == max_frames - 1
+            due = (time.perf_counter() - last_emit) >= emit_interval
+            if due or last or changed:
+                out_buf = (
+                    "\x1b[H" + _frame_to_ansi(img)
+                    + f"\n\x1b[0m\x1b[2K{int(state.spp)} spp | "
+                    f"{1.0 / max(dt, 1e-9):5.1f} fps{mrays} | "
+                    f"drag rotate, wheel zoom, wasd/space/c move, +/- fov, "
+                    f"r reset, p png, q quit"
+                )
+            if out_buf is not None and (not use_wavefront or last):
+                sys.stdout.write(out_buf)  # last frame: no next dispatch
+                sys.stdout.flush()
+                out_buf = None
             frames += 1
     finally:
         if mouse:
