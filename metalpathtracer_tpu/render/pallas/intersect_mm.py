@@ -75,6 +75,14 @@ TILE_P = int(os.environ.get("MPT_TILE_P", "256"))
 # SMEM list specs need >= 8 subgroups per 1024-lane block.
 CULL_R = int(os.environ.get("MPT_CULL_R", "256"))
 CULL_R_STREAM = int(os.environ.get("MPT_CULL_R_STREAM", "128"))
+# pack the tile argmin's (t, column) into one int32 key (bitcast f32 t is
+# order-preserving for positives; the low 8 mantissa bits carry the
+# column) — on paper 2 fewer full-width VPU passes per tile, but measured
+# NEUTRAL-to-slightly-slower on chip (21.2 vs 21.6 Mrays/s probe; the
+# where/min chain schedules as well as the bitcast/and/or chain). Kept as
+# an off-by-default knob; oracle-validated identical. Requires
+# TILE_P <= 256.
+PACKED_ARGMIN = os.environ.get("MPT_PACKED_ARGMIN", "0") == "1" and TILE_P <= 256
 # Mosaic's default scoped-VMEM budget is 16 MB, but a v5e core has 128 MiB
 # of physical VMEM; raising the cap lets the det tile use wide ray blocks.
 VMEM_LIMIT_BYTES = int(os.environ.get("MPT_VMEM_LIMIT_MB", "100")) * (1 << 20)
@@ -363,6 +371,29 @@ def _tile_epilogue(block, i, col, best_t, best_i, t_min):
         (sas > TRI_PARALLEL_EPS) & (sus >= 0.0) & (svs >= 0.0)
         & (sus + svs <= sas) & (sts > t_min * sas)
     )
+    if PACKED_ARGMIN:
+        # pack t and column into ONE int32 key: positive-f32 bitcasts are
+        # order-preserving, and stealing the low 8 mantissa bits for the
+        # column (TILE_P <= 256) costs 2^-15 relative t resolution —
+        # BELOW the approximate-reciprocal error that already bounds this
+        # candidate t. One wide where + one wide min replace the
+        # min/eq/where/min chain (2 fewer full-width VPU passes).
+        t_all = sts * pl.reciprocal(sas, approx=True)
+        key = jnp.where(
+            ok,
+            (jax.lax.bitcast_convert_type(t_all, jnp.int32)
+             & jnp.int32(~0xFF)) | col,
+            jnp.int32(0x7F800000),  # +inf pattern, col 0
+        )
+        kmin = jnp.min(key, axis=1)
+        t_best_tile = jax.lax.bitcast_convert_type(
+            kmin & jnp.int32(~0xFF), jnp.float32
+        )
+        idx_tile = i * TILE_P + (kmin & jnp.int32(0xFF))
+        better = t_best_tile < best_t
+        return (jnp.where(better, t_best_tile, best_t),
+                jnp.where(better, idx_tile, best_i))
+
     t_all = jnp.where(ok, sts * pl.reciprocal(sas, approx=True), _INF)
 
     # tile argmin: min value, then smallest matching column
