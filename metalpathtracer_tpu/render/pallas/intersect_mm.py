@@ -83,6 +83,9 @@ CULL_R_STREAM = int(os.environ.get("MPT_CULL_R_STREAM", "128"))
 # an off-by-default knob; oracle-validated identical. Requires
 # TILE_P <= 256.
 PACKED_ARGMIN = os.environ.get("MPT_PACKED_ARGMIN", "0") == "1" and TILE_P <= 256
+# triangle->tile partition scheme (see build_weights): "kd" median splits
+# (tight tile AABBs) or the legacy "morton" run grouping
+TILE_PARTITION = os.environ.get("MPT_TILE_PART", "kd")
 # Mosaic's default scoped-VMEM budget is 16 MB, but a v5e core has 128 MiB
 # of physical VMEM; raising the cap lets the det tile use wide ray blocks.
 VMEM_LIMIT_BYTES = int(os.environ.get("MPT_VMEM_LIMIT_MB", "100")) * (1 << 20)
@@ -213,11 +216,38 @@ def build_weights(prim_type, p0, p1, p2):
     tri_sel = np.nonzero(prim_type == PRIM_TRIANGLE)[0]
     sph_sel = np.nonzero(prim_type == PRIM_SPHERE)[0]
 
-    # Morton-sort triangles by centroid so each TILE_P tile is spatially
-    # compact — the per-tile AABB cull then skips most tiles per ray block.
+    # Order triangles so each TILE_P tile is spatially compact — the
+    # per-tile AABB cull then skips most tiles per ray block. "kd"
+    # (default): recursive longest-axis median splits at TILE_P-multiple
+    # boundaries — every tile is an exact spatial partition cell, with
+    # strictly tighter AABBs than same-size Morton runs (a Morton run can
+    # straddle a curve discontinuity and span the whole scene). "morton":
+    # the round-1/2 centroid Morton sort, kept for A/B.
     if len(tri_sel):
         cent = (p0[tri_sel] + p1[tri_sel] + p2[tri_sel]) / 3.0
-        tri_sel = tri_sel[np.argsort(_morton3(cent), kind="stable")]
+        if TILE_PARTITION == "kd":
+            order = np.empty(len(tri_sel), np.int64)
+            out_pos = [0]
+
+            def split(idx):
+                n_i = len(idx)
+                if n_i <= TILE_P:
+                    order[out_pos[0] : out_pos[0] + n_i] = idx
+                    out_pos[0] += n_i
+                    return
+                c = cent[idx]
+                axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+                # split at the largest TILE_P multiple <= half (keeps every
+                # tile exactly TILE_P until the single ragged tail)
+                k = max(TILE_P, (n_i // 2) // TILE_P * TILE_P)
+                part = np.argpartition(c[:, axis], k)
+                split(idx[part[:k]])
+                split(idx[part[k:]])
+
+            split(np.arange(len(tri_sel)))
+            tri_sel = tri_sel[order]
+        else:
+            tri_sel = tri_sel[np.argsort(_morton3(cent), kind="stable")]
 
     # --- triangle weights ---
     v0, v1, v2 = p0[tri_sel], p1[tri_sel], p2[tri_sel]
