@@ -25,6 +25,7 @@ AND triangles) with power-heuristic MIS against the BSDF route.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +88,18 @@ class RenderConfig:
     # meshes at the shipped scene's scale. Off restores the exact reference
     # constant.
     adaptive_offset: bool = True
+    # wavefront pixel-group banking width: one work item covers `bank_k`
+    # ADJACENT pixels x spp samples, the lane accumulator widens to
+    # (pool, 3*bank_k) and the framebuffer scatter writes (n_pix/bank_k,
+    # 3*bank_k) rows. The fb scatter-add costs ~40-52 ns per pool ROW per
+    # call regardless of payload width or masked drops (benchmarks/
+    # scatter_probe.py; the sort-compaction endgame measured WORSE — the
+    # final 1M-row argsort alone costs more than every scatter combined),
+    # so banking K pixels per row divides the scatter-call count by K.
+    # 0 = auto (largest k <= MPT_BANK_K [default 8] dividing n_pix with the
+    # pool kept busy); 1 = the round-2 per-pixel banking. Chip sweep
+    # (bench, 720p spp4): K=1 22.54, K=4 23.47, K=8 23.96 Mrays/s.
+    bank_k: int = 0
 
 
 DEFAULT_CONFIG = RenderConfig()
@@ -476,22 +489,42 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     pool = int(pool_size)
 
     # samples-per-bank: when the image carries enough parallelism, one lane
-    # traces ALL spp samples of its pixel before banking, so the framebuffer
-    # scatter-add runs once per PIXEL, not once per sample — and its indices
-    # are structurally unique, unlocking XLA's parallel scatter path. (The
-    # fb scatter measured 176 ms/render = 23% of device time as a
-    # colliding-add over every lane every iteration.) Small images fall back
-    # to per-sample items to keep the pool busy.
+    # traces ALL spp samples of its pixel (and, with bank_k > 1, of a whole
+    # group of adjacent pixels) before banking, so the framebuffer
+    # scatter-add runs once per pixel GROUP, not once per sample — and its
+    # indices are structurally unique, unlocking XLA's parallel scatter
+    # path. (The fb scatter measured 176 ms/render = 23% of device time as
+    # a colliding-add over every lane every iteration; per-pixel banking
+    # cut it to 15%, K=4 grouping to ~a quarter of that.) Small images fall
+    # back to per-sample items to keep the pool busy.
     spb = spp if n_pix >= pool else 1
     chunks = spp // spb
-    total = n_pix * chunks  # work items = (pixel, sample-chunk) pairs
-    unique_bank = spb == spp  # item <-> pixel is 1:1 -> no add collisions
+    # pixel-group banking (see RenderConfig.bank_k): one work item =
+    # bank_k ADJACENT pixels x spb samples, banked to the framebuffer as
+    # ONE (3*bank_k)-wide row. The scatter's cost is per ROW, so K divides
+    # the scatter tax by K at the price of a K-times-longer drain tail
+    # (each straggler item carries K*spb paths).
+    bank_k = 1
+    if spb == spp:  # only group when a lane already owns whole pixels
+        k_req = cfg.bank_k or int(os.environ.get("MPT_BANK_K", "8"))
+        for k in (16, 8, 4, 2, 1):
+            if k <= k_req and n_pix % k == 0 and n_pix // k >= pool:
+                bank_k = k
+                break
+    groups = n_pix // bank_k
+    per_item = bank_k * spb  # path completions per work item
+    total = groups * chunks  # work items = (pixel-group, sample-chunk)
+    unique_bank = spb == spp  # item <-> fb row is 1:1 -> no add collisions
 
     def ray_for(item, schunk):
-        pixel = (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
+        pixel = (
+            (item % jnp.uint32(groups)) * jnp.uint32(bank_k)
+            + schunk // jnp.uint32(spb)
+            + jnp.uint32(pixel_offset)
+        )
         sample = (
-            (item // jnp.uint32(n_pix)) * jnp.uint32(spb)
-            + schunk
+            (item // jnp.uint32(groups)) * jnp.uint32(spb)
+            + (schunk % jnp.uint32(spb))
             + jnp.asarray(sample_offset, jnp.uint32)
         )
         o, d = generate_rays(camera, width, height, pixel, sample, seed)
@@ -503,7 +536,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     state = dict(
         item=item0,
         schunk=schunk0,
-        acc=jnp.zeros((pool, 3), jnp.float32),
+        acc=jnp.zeros((pool, 3 * bank_k), jnp.float32),
         o=o,
         d=d,
         bounce=jnp.zeros((pool,), jnp.int32),
@@ -511,7 +544,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         tp=jnp.ones((pool, 3), jnp.float32),
         prev_pdf=jnp.zeros((pool,), jnp.float32),
         alive=item0 < total,
-        fb=jnp.zeros((n_pix, 3), jnp.float32),
+        fb=jnp.zeros((groups, 3 * bank_k), jnp.float32),
         next_item=jnp.uint32(min(pool, total)),
         rays=jnp.zeros((), jnp.int32),
         mxu_tile_passes=jnp.zeros((), jnp.float32),
@@ -527,12 +560,16 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     # `flush_every` advances, collects their banks in local pending slots
     # (each lane banks at most once per body by the bound above), and runs
     # ONE scatter per body. (A lax.cond-gated flush measured slower — the
-    # conditional breaks fusion around the framebuffer.) Capped at 4: the
-    # unroll multiplies compiled-body size. Round 2 divided the bound by
-    # bounces_per_iter — overly conservative by exactly that factor (the
-    # bank cadence is per ADVANCE, not per bounce); the fix halved the
-    # bench's scatter calls.
-    flush_every = min(spb, 4)
+    # conditional breaks fusion around the framebuffer.) Round 2 divided
+    # the bound by bounces_per_iter — overly conservative by exactly that
+    # factor (the bank cadence is per ADVANCE, not per bounce). With
+    # pixel-group banking the cadence stretches to per_item advances, so
+    # the flush window covers the whole item; the lane sort keeps its own
+    # finer cadence (sort_every) INSIDE the window, with the pending-bank
+    # slots riding the permutation so a slot always belongs to the path
+    # currently occupying its lane.
+    sort_every = min(spb, 4)
+    flush_every = max(1, per_item // sort_every) * sort_every
 
     def advance(st):
         """bounces_per_iter bounce steps + per-sample bookkeeping (shared by
@@ -543,10 +580,14 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         prev_pdf = st["prev_pdf"]
         bounce = st["bounce"]
         item, schunk = st["item"], st["schunk"]
-        pixel = (item % jnp.uint32(n_pix)) + jnp.uint32(pixel_offset)
+        pixel = (
+            (item % jnp.uint32(groups)) * jnp.uint32(bank_k)
+            + schunk // jnp.uint32(spb)
+            + jnp.uint32(pixel_offset)
+        )
         sample = (
-            (item // jnp.uint32(n_pix)) * jnp.uint32(spb)
-            + schunk
+            (item // jnp.uint32(groups)) * jnp.uint32(spb)
+            + (schunk % jnp.uint32(spb))
             + jnp.asarray(sample_offset, jnp.uint32)
         )
         still = alive
@@ -568,14 +609,29 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         path_done = alive & ~survivors
 
         # per-sample flush into the lane-local accumulator (the reference's
-        # per-sample [0,1] clamp applies here, PathTracing.h:258)
+        # per-sample [0,1] clamp applies here, PathTracing.h:258). With
+        # pixel-group banking the accumulator holds bank_k pixel slots and
+        # the completion lands in slot schunk // spb (a K-wide one-hot
+        # masked add — a handful of VPU ops, vs the ~40 ns/row a
+        # per-completion scatter would cost).
         ps = jnp.clip(light, 0.0, 1.0) if cfg.clamp_radiance else light
-        acc = st["acc"] + jnp.where(path_done[:, None], ps, 0.0)
+        if bank_k == 1:
+            acc = st["acc"] + jnp.where(path_done[:, None], ps, 0.0)
+        else:
+            sub = (schunk // jnp.uint32(spb)).astype(jnp.int32)
+            slot = (
+                jnp.arange(bank_k, dtype=jnp.int32)[None, :] == sub[:, None]
+            )  # (pool, K)
+            mask = path_done[:, None] & slot
+            # -1: `advance` also runs on the drain phase's narrowed pools
+            acc = st["acc"] + jnp.where(
+                mask[:, :, None], ps[:, None, :], 0.0
+            ).reshape(-1, 3 * bank_k)
         light = jnp.where(path_done[:, None], 0.0, light)
 
         schunk_next = schunk + path_done.astype(jnp.uint32)
-        more = path_done & (schunk_next < spb)  # same pixel, next sample
-        bank = path_done & ~more  # chunk finished -> bank to framebuffer
+        more = path_done & (schunk_next < per_item)  # same item, next path
+        bank = path_done & ~more  # item finished -> bank to framebuffer
 
         st = dict(
             st, o=o, d=d, light=light, tp=tp, prev_pdf=prev_pdf, acc=acc,
@@ -625,7 +681,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             st, pend_idx, pend_rgb, next_item = carry
             st, path_done, more, bank = advance(st)
             pend_idx = jnp.where(
-                bank, st["item"] % jnp.uint32(n_pix), pend_idx
+                bank, st["item"] % jnp.uint32(groups), pend_idx
             )
             pend_rgb = jnp.where(bank[:, None], st["acc"], pend_rgb)
             st["acc"] = jnp.where(bank[:, None], 0.0, st["acc"])
@@ -641,23 +697,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             )
             return (st, pend_idx, pend_rgb, next_item)
 
-        st, pend_idx, pend_rgb, next_item = jax.lax.fori_loop(
-            0, flush_every, one_advance,
-            (st, jnp.full((pool,), n_pix, jnp.uint32),
-             jnp.zeros((pool, 3), jnp.float32), next_item),
-        )
-        # NOTE (ADVICE r2): with unique_indices=True every non-banked lane
-        # shares the out-of-bounds index n_pix under mode="drop" — XLA
-        # documents duplicate indices under unique_indices as UB, but
-        # dropped-OOB rows never reach the write stage on this backend
-        # (chip-validated via the on-chip render-vs-oracle gates; re-check
-        # after any XLA/toolchain bump). The duplication is what unlocks
-        # the parallel (non-serialized) scatter path.
-        fb = fb.at[pend_idx].add(
-            pend_rgb, mode="drop", unique_indices=unique_bank
-        )
-
-        if cfg.sort_lanes and scene.num_tris > 0:
+        def maybe_sort(st, pend_idx, pend_rgb):
             # origin-locality sort: tile lists are per CULL_R-lane subgroup,
             # so grouping lanes by origin Morton cell makes BOUNCED
             # subgroups cull like coherent primaries (the per-block-ANY
@@ -751,29 +791,57 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                     | octant
                 )
             perm = jnp.argsort(key)
+            ka = 3 * bank_k  # acc / pend_rgb column width
             fpack = jnp.concatenate(
                 [st["o"], st["d"], st["acc"], st["light"], st["tp"],
-                 st["prev_pdf"][:, None]],
+                 st["prev_pdf"][:, None], pend_rgb],
                 axis=1,
             )[perm]
             ipack = jnp.stack(
                 [st["item"].astype(jnp.int32),
                  st["schunk"].astype(jnp.int32),
                  st["bounce"],
-                 st["alive"].astype(jnp.int32)],
+                 st["alive"].astype(jnp.int32),
+                 pend_idx.astype(jnp.int32)],
                 axis=1,
             )[perm]
             st = dict(
                 st,
-                o=fpack[:, 0:3], d=fpack[:, 3:6], acc=fpack[:, 6:9],
-                light=fpack[:, 9:12], tp=fpack[:, 12:15],
-                prev_pdf=fpack[:, 15],
+                o=fpack[:, 0:3], d=fpack[:, 3:6], acc=fpack[:, 6:6 + ka],
+                light=fpack[:, 6 + ka:9 + ka], tp=fpack[:, 9 + ka:12 + ka],
+                prev_pdf=fpack[:, 12 + ka],
                 item=ipack[:, 0].astype(jnp.uint32),
                 schunk=ipack[:, 1].astype(jnp.uint32),
                 bounce=ipack[:, 2],
                 alive=ipack[:, 3] > 0,
             )
+            return st, ipack[:, 4].astype(jnp.uint32), fpack[:, 13 + ka:]
 
+        def sort_block(_, carry):
+            carry = jax.lax.fori_loop(0, sort_every, one_advance, carry)
+            st, pend_idx, pend_rgb, next_item = carry
+            if cfg.sort_lanes and scene.num_tris > 0:
+                st, pend_idx, pend_rgb = maybe_sort(st, pend_idx, pend_rgb)
+            return (st, pend_idx, pend_rgb, next_item)
+
+        carry = (st, jnp.full((pool,), groups, jnp.uint32),
+                 jnp.zeros((pool, 3 * bank_k), jnp.float32), next_item)
+        n_blocks = flush_every // sort_every
+        if n_blocks > 1:
+            carry = jax.lax.fori_loop(0, n_blocks, sort_block, carry)
+        else:
+            carry = sort_block(0, carry)
+        st, pend_idx, pend_rgb, next_item = carry
+        # NOTE (ADVICE r2): with unique_indices=True every non-banked lane
+        # shares the out-of-bounds index `groups` under mode="drop" — XLA
+        # documents duplicate indices under unique_indices as UB, but
+        # dropped-OOB rows never reach the write stage on this backend
+        # (chip-validated via the on-chip render-vs-oracle gates; re-check
+        # after any XLA/toolchain bump). The duplication is what unlocks
+        # the parallel (non-serialized) scatter path.
+        fb = fb.at[pend_idx].add(
+            pend_rgb, mode="drop", unique_indices=unique_bank
+        )
         return dict(st, fb=fb, next_item=next_item)
 
     state = jax.lax.while_loop(cond, body, state)
@@ -809,8 +877,8 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         a real pixel modulo n_pix, which would break the unique-indices
         contract of the scatter."""
         dead = ~st["alive"] & (st["item"] < jnp.uint32(total))
-        idx = jnp.where(dead, st["item"] % jnp.uint32(n_pix),
-                        jnp.uint32(n_pix))
+        idx = jnp.where(dead, st["item"] % jnp.uint32(groups),
+                        jnp.uint32(groups))
         fb = fb.at[idx].add(
             st["acc"], mode="drop", unique_indices=unique_bank
         )
@@ -834,6 +902,9 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         width_now = nxt
     drain = drain_stage(drain, 0)
     fb, drain = flush(fb, drain)
+    # (groups, 3*bank_k) rows are K row-major (pixel, rgb) blocks — the
+    # reshape recovers the (n_pix, 3) contract exactly
+    fb = fb.reshape(n_pix, 3)
     if return_stats:
         return fb, drain["rays"], dict(
             mxu_tile_passes=drain["mxu_tile_passes"]
