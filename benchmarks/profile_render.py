@@ -111,9 +111,14 @@ def main() -> int:
     i_time = pick_col("total_self_time", "self_time", "total_time")
     i_name = pick_col("hlo_op_name")
     i_cat = pick_col("category")
+    try:
+        i_expr = pick_col("hlo_op_expression", "hlo_expression", "expression")
+    except KeyError:
+        i_expr = None
 
     agg: dict[str, float] = {}
     cat: dict[str, float] = {}
+    expr: dict[str, str] = {}
     total = 0.0
     for row in table["rows"]:
         c = row["c"]
@@ -125,6 +130,8 @@ def main() -> int:
         us = float(val(i_time) or 0.0)
         name = str(val(i_name))
         agg[name] = agg.get(name, 0.0) + us
+        if i_expr is not None and name not in expr:
+            expr[name] = str(val(i_expr) or "")[:300]
         k = str(val(i_cat))
         cat[k] = cat.get(k, 0.0) + us
         total += us
@@ -139,7 +146,7 @@ def main() -> int:
         print(f"{v/1e3:9.1f} ms  {100*v/total:5.1f}%  {k[:110]}")
 
     with open("/tmp/mpt_hlo_stats.json", "w") as f:
-        json.dump(dict(total_us=total, rays=int(rays), ops=agg), f)
+        json.dump(dict(total_us=total, rays=int(rays), ops=agg, expr=expr), f)
     print("\nfull op table -> /tmp/mpt_hlo_stats.json; trace dir:", logdir)
     return 0
 

@@ -568,7 +568,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     # finer cadence (sort_every) INSIDE the window, with the pending-bank
     # slots riding the permutation so a slot always belongs to the path
     # currently occupying its lane.
-    sort_every = min(spb, 4)
+    sort_every = min(spb, int(os.environ.get("MPT_SORT_EVERY", "4")))
     flush_every = max(1, per_item // sort_every) * sort_every
 
     def advance(st):

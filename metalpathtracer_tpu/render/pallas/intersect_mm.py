@@ -61,7 +61,18 @@ _LIVE_FEATURES = 12
 # ~1.7us per-loop-iteration overhead measured on v5e). Env overrides exist
 # for perf sweeps only — production uses the defaults.
 BLOCK_R = int(os.environ.get("MPT_BLOCK_R", "1024"))
-TILE_P = int(os.environ.get("MPT_TILE_P", "256"))
+# triangles per inner tile. 0 = auto PER SCENE (build_weights): 128 for
+# small resident scenes, 256 past TILE_SWITCH_TRIS. Chip sweep with the kd
+# partition (which flipped round 2's "256 always" verdict): reference 5k
+# tris 26.8 (128) vs 24.0 (256) Mrays/s pipelined; bunny70k 4.69 (128) vs
+# 4.95 (256) — small scenes want finer tiles (fewer tested pairs), large
+# scenes want fewer tiles (cull tables + list walks scale with n_tiles).
+# Kernels read the ACTUAL tile size from the weight slab's shape, so the
+# choice is per-uploaded-scene, not per-process.
+TILE_P = int(os.environ.get("MPT_TILE_P", "0"))
+TILE_P_SMALL = 128
+TILE_P_LARGE = 256
+TILE_SWITCH_TRIS = int(os.environ.get("MPT_TILE_SWITCH", str(24 * 1024)))
 # cull granularity WITHIN a kernel block: tile lists are built per CULL_R
 # consecutive lanes (the kernel processes each subgroup against its own
 # list). One list per 1024 incoherent lanes tests the UNION of their tiles
@@ -82,7 +93,7 @@ CULL_R_STREAM = int(os.environ.get("MPT_CULL_R_STREAM", "128"))
 # where/min chain schedules as well as the bitcast/and/or chain). Kept as
 # an off-by-default knob; oracle-validated identical. Requires
 # TILE_P <= 256.
-PACKED_ARGMIN = os.environ.get("MPT_PACKED_ARGMIN", "0") == "1" and TILE_P <= 256
+PACKED_ARGMIN = os.environ.get("MPT_PACKED_ARGMIN", "0") == "1"
 # triangle->tile partition scheme (see build_weights): "kd" median splits
 # (tight tile AABBs) or the legacy "morton" run grouping
 TILE_PARTITION = os.environ.get("MPT_TILE_PART", "kd")
@@ -216,6 +227,11 @@ def build_weights(prim_type, p0, p1, p2):
     tri_sel = np.nonzero(prim_type == PRIM_TRIANGLE)[0]
     sph_sel = np.nonzero(prim_type == PRIM_SPHERE)[0]
 
+    # per-scene tile size (see the TILE_P constant's comment)
+    tile_p = TILE_P or (
+        TILE_P_SMALL if len(tri_sel) <= TILE_SWITCH_TRIS else TILE_P_LARGE
+    )
+
     # Order triangles so each TILE_P tile is spatially compact — the
     # per-tile AABB cull then skips most tiles per ray block. "kd"
     # (default): recursive longest-axis median splits at TILE_P-multiple
@@ -231,7 +247,7 @@ def build_weights(prim_type, p0, p1, p2):
 
             def split(idx):
                 n_i = len(idx)
-                if n_i <= TILE_P:
+                if n_i <= tile_p:
                     order[out_pos[0] : out_pos[0] + n_i] = idx
                     out_pos[0] += n_i
                     return
@@ -239,7 +255,7 @@ def build_weights(prim_type, p0, p1, p2):
                 axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
                 # split at the largest TILE_P multiple <= half (keeps every
                 # tile exactly TILE_P until the single ragged tail)
-                k = max(TILE_P, (n_i // 2) // TILE_P * TILE_P)
+                k = max(tile_p, (n_i // 2) // tile_p * tile_p)
                 part = np.argpartition(c[:, axis], k)
                 split(idx[part[:k]])
                 split(idx[part[k:]])
@@ -252,7 +268,7 @@ def build_weights(prim_type, p0, p1, p2):
     # --- triangle weights ---
     v0, v1, v2 = p0[tri_sel], p1[tri_sel], p2[tri_sel]
     t = len(tri_sel)
-    pad_t = (-t) % TILE_P if t else TILE_P
+    pad_t = (-t) % tile_p if t else tile_p
     e1 = v1 - v0
     e2 = v2 - v0
     n = np.cross(e1, e2)
@@ -274,15 +290,15 @@ def build_weights(prim_type, p0, p1, p2):
     # one tile-interleaved weight matrix: for tile i the 4*TILE_P columns are
     # [wa_i | wu_i | wv_i | wt_i], so each tile is ONE (B,12)@(12,4T) matmul
     wa_p, wu_p, wv_p, wt_p = padw(wa), padw(wu), padw(wv), padw(wt)
-    n_tiles_w = wa_p.shape[1] // TILE_P
+    n_tiles_w = wa_p.shape[1] // tile_p
     w_all = np.empty((NUM_FEATURES, 4 * wa_p.shape[1]), np.float32)
     for i in range(n_tiles_w):
-        s = i * TILE_P
-        ws = i * 4 * TILE_P
-        w_all[:, ws : ws + TILE_P] = wa_p[:, s : s + TILE_P]
-        w_all[:, ws + TILE_P : ws + 2 * TILE_P] = wu_p[:, s : s + TILE_P]
-        w_all[:, ws + 2 * TILE_P : ws + 3 * TILE_P] = wv_p[:, s : s + TILE_P]
-        w_all[:, ws + 3 * TILE_P : ws + 4 * TILE_P] = wt_p[:, s : s + TILE_P]
+        s = i * tile_p
+        ws = i * 4 * tile_p
+        w_all[:, ws : ws + tile_p] = wa_p[:, s : s + tile_p]
+        w_all[:, ws + tile_p : ws + 2 * tile_p] = wu_p[:, s : s + tile_p]
+        w_all[:, ws + 2 * tile_p : ws + 3 * tile_p] = wv_p[:, s : s + tile_p]
+        w_all[:, ws + 3 * tile_p : ws + 4 * tile_p] = wt_p[:, s : s + tile_p]
 
     if MM_PRECISION_MODE == "pack":
         # pre-split bf16 hi/lo slab for the one-pass packed matmul:
@@ -299,7 +315,7 @@ def build_weights(prim_type, p0, p1, p2):
     # column-interleaved 2-D slab made every tile fetch 64 strided 2 KB
     # segments — descriptor-bound at a fraction of HBM bandwidth.
     w_all = np.ascontiguousarray(
-        w_all.reshape(w_all.shape[0], n_tiles_w, 4 * TILE_P).transpose(1, 0, 2)
+        w_all.reshape(w_all.shape[0], n_tiles_w, 4 * tile_p).transpose(1, 0, 2)
     )
 
     tri_ids = np.concatenate(
@@ -322,12 +338,12 @@ def build_weights(prim_type, p0, p1, p2):
 
     # per-tile AABBs over the padded triangle order; padding tiles get empty
     # boxes (lo=+inf, hi=-inf) that fail every slab test
-    n_tiles = (t + pad_t) // TILE_P
+    n_tiles = (t + pad_t) // tile_p
     tile_box = np.zeros((max(n_tiles, 1), 8), np.float32)
     tile_box[:, 0:3] = np.inf
     tile_box[:, 4:7] = -np.inf
     for i in range(n_tiles):
-        a, b = i * TILE_P, min((i + 1) * TILE_P, t)
+        a, b = i * tile_p, min((i + 1) * tile_p, t)
         if a >= t:
             continue
         vs = np.concatenate([v0[a:b], v1[a:b], v2[a:b]])
@@ -370,7 +386,7 @@ def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([d, m, o, od, oo, ones, pad], axis=-1)
 
 
-def _tile_epilogue(block, i, col, best_t, best_i, t_min):
+def _tile_epilogue(block, i, col, best_t, best_i, t_min, tile_p):
     """Shared VPU epilogue of one tile matmul: acceptance tests
     (u = su/a, v = sv/a, t = st/a — PathTracing.h:143-176, same 1e-5
     parallel epsilon), per-tile argmin, and the running-best merge.
@@ -387,10 +403,10 @@ def _tile_epilogue(block, i, col, best_t, best_i, t_min):
       f32 by the caller's _mt_exact refine, so the approximation can only
       reorder near-ties — the same class as the tolerated matmul edge
       flips)."""
-    sa = block[:, 0:TILE_P]
-    su = block[:, TILE_P : 2 * TILE_P]
-    sv = block[:, 2 * TILE_P : 3 * TILE_P]
-    st = block[:, 3 * TILE_P : 4 * TILE_P]
+    sa = block[:, 0:tile_p]
+    su = block[:, tile_p : 2 * tile_p]
+    sv = block[:, 2 * tile_p : 3 * tile_p]
+    st = block[:, 3 * tile_p : 4 * tile_p]
 
     s = jnp.where(sa < 0.0, -1.0, 1.0)
     sas = sa * s
@@ -401,7 +417,7 @@ def _tile_epilogue(block, i, col, best_t, best_i, t_min):
         (sas > TRI_PARALLEL_EPS) & (sus >= 0.0) & (svs >= 0.0)
         & (sus + svs <= sas) & (sts > t_min * sas)
     )
-    if PACKED_ARGMIN:
+    if PACKED_ARGMIN and tile_p <= 256:
         # pack t and column into ONE int32 key: positive-f32 bitcasts are
         # order-preserving, and stealing the low 8 mantissa bits for the
         # column (TILE_P <= 256) costs 2^-15 relative t resolution —
@@ -419,7 +435,7 @@ def _tile_epilogue(block, i, col, best_t, best_i, t_min):
         t_best_tile = jax.lax.bitcast_convert_type(
             kmin & jnp.int32(~0xFF), jnp.float32
         )
-        idx_tile = i * TILE_P + (kmin & jnp.int32(0xFF))
+        idx_tile = i * tile_p + (kmin & jnp.int32(0xFF))
         better = t_best_tile < best_t
         return (jnp.where(better, t_best_tile, best_t),
                 jnp.where(better, idx_tile, best_i))
@@ -434,7 +450,7 @@ def _tile_epilogue(block, i, col, best_t, best_i, t_min):
         keepdims=True,
     )
     t_best_tile = t_best_tile[:, 0]
-    idx_tile = i * TILE_P + idx_in_tile[:, 0]
+    idx_tile = i * tile_p + idx_in_tile[:, 0]
 
     better = t_best_tile < best_t
     return (jnp.where(better, t_best_tile, best_t),
@@ -442,7 +458,7 @@ def _tile_epilogue(block, i, col, best_t, best_i, t_min):
 
 
 def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
-               t_ref, idx_ref, *, t_min: float):
+               t_ref, idx_ref, *, t_min: float, tile_p: int):
     """VMEM-resident weights. Work-skipping design (see docs/PERFORMANCE.md):
     the passing-tile lists are computed OUTSIDE the kernel (vectorized XLA
     cull) per CULL_R-lane SUBGROUP and arrive as SMEM inputs, ENTRY-ORDERED
@@ -456,7 +472,8 @@ def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
     cell = pl.program_id(0)
     sub = BLOCK_R // CULL_R
     rows = CULL_R // 128
-    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R, TILE_P), 1)
+    u_res = TILE_UNROLL_RES or (8 if tile_p <= 128 else 4)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R, tile_p), 1)
     xp = _prep_x(x_ref[:])  # hi/lo split + concat ONCE per block
 
     for sg in range(sub):  # static unroll over subgroups
@@ -473,19 +490,19 @@ def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
 
         def tile_body(carry, xs=xs, g=g, lb2=lb2, cnt=cnt):
             j, _, best_t, best_i = carry
-            for k in range(TILE_UNROLL_RES):  # consecutive, clamped
+            for k in range(u_res):  # consecutive, clamped
                 jj = (jnp.minimum(j + k, cnt - 1)
-                      if TILE_UNROLL_RES > 1 else j)
+                      if u_res > 1 else j)
                 i = lists_ref[g, jj]
                 # one fused matmul per tile: [a | su | sv | st]
                 block = _det_matmul_prepped(xs, w_ref[i])
                 best_t, best_i = _tile_epilogue(block, i, col, best_t,
-                                                best_i, t_min)
+                                                best_i, t_min, tile_p)
             # 2-D shapes for the reduce: a loaded-1-D-reshape feeding
             # compare/select crashes Mosaic layout inference (see
             # _mm_kernel_stream)
             thr = jnp.max(jnp.minimum(best_t.reshape(rows, 128), lb2))
-            return (j + TILE_UNROLL_RES, thr, best_t, best_i)
+            return (j + u_res, thr, best_t, best_i)
 
         init = (jnp.int32(0), jnp.max(lb2),
                 jnp.full((CULL_R,), _INF), jnp.full((CULL_R,), -1, jnp.int32))
@@ -512,12 +529,15 @@ STREAM_CACHE_SLOTS = int(os.environ.get("MPT_STREAM_SLOTS", "32"))
 # chunk, so it stays fine-grained at U2 — deep unroll would pad short
 # lists with duplicates and blunt the exit.
 TILE_UNROLL_STREAM = max(1, int(os.environ.get("MPT_TILE_UNROLL", "8")))
-TILE_UNROLL_RES = max(1, int(os.environ.get("MPT_TILE_UNROLL_RES", "4")))
+# 0 = auto: U8 at tile_p 128, U4 at 256 (chip sweep: at TILE_P 128 the
+# resident kernel measured U2 24.2 / U4 26.5 / U8 26.8 Mrays/s pipelined)
+TILE_UNROLL_RES = max(0, int(os.environ.get("MPT_TILE_UNROLL_RES", "0")))
 
 
 def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
                       rme_ref, x_ref, lb_ref, w_hbm_ref, t_ref, idx_ref,
-                      bt_ref, bi_ref, cache, dma_sem, *, t_min: float):
+                      bt_ref, bi_ref, cache, dma_sem, *, t_min: float,
+                      tile_p: int):
     """HBM-streaming variant with the SAME per-subgroup culling as the
     resident kernel (round-2 parity gap closed — VERDICT r2 item 2), plus
     ordered-traversal early exit:
@@ -550,7 +570,7 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
     sub = BLOCK_R // CULL_R_STREAM
     rows = CULL_R_STREAM // 128
     S = STREAM_CACHE_SLOTS
-    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R_STREAM, TILE_P), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R_STREAM, tile_p), 1)
     xp = _prep_x(x_ref[:])
 
     bt_ref[:, :] = jnp.full(bt_ref.shape, _INF)
@@ -615,7 +635,8 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
                     sglob = slists_ref[sg, jj]
                     i = ulists_ref[urow, sglob]
                     block = _det_matmul_prepped(xs, cache[sglob - base])
-                    carry = _tile_epilogue(block, i, col, *carry, t_min)
+                    carry = _tile_epilogue(block, i, col, *carry, t_min,
+                                           tile_p)
                 return carry
 
             # Carries init from CONSTANTS and merge with the persisted bests
@@ -801,11 +822,12 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     running closest-t plays across node kinds in the reference's BVH
     traversal, PathTracing.h:102). +inf disables."""
     n = x.shape[0]
-    n_tiles = w_all.shape[0]  # (n_tiles, W_ROWS, 4*TILE_P)
+    n_tiles = w_all.shape[0]  # (n_tiles, W_ROWS, 4*tile_p)
+    tile_p = w_all.shape[2] // 4  # per-scene tile size (build_weights)
     grid = (n // BLOCK_R,)
     sub = BLOCK_R // CULL_R_STREAM  # stream-branch spec grouping
 
-    stream = (n_tiles * TILE_P) > VMEM_RESIDENT_MAX_TRIS
+    stream = (n_tiles * tile_p) > VMEM_RESIDENT_MAX_TRIS
     x_spec = pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     out_specs = (
@@ -827,7 +849,8 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
         )
         lane_bound = jnp.minimum(lane_bound, occ_t)
         nbat = starts.shape[1] - 1
-        kernel = functools.partial(_mm_kernel_stream, t_min=t_min)
+        kernel = functools.partial(_mm_kernel_stream, t_min=t_min,
+                                   tile_p=tile_p)
         # Mosaic blocked-SMEM specs need the last two block dims divisible
         # by (8, 128) or equal to the array dims: pad the tile axis to 128
         # columns, deliver slists/starts per-cell (sub = 8 rows), and ship
@@ -858,7 +881,7 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
         scratch = [
             pltpu.VMEM((BLOCK_R // 128, 128), jnp.float32),
             pltpu.VMEM((BLOCK_R // 128, 128), jnp.int32),
-            pltpu.VMEM((STREAM_CACHE_SLOTS, W_ROWS, 4 * TILE_P), W_DTYPE),
+            pltpu.VMEM((STREAM_CACHE_SLOTS, W_ROWS, 4 * tile_p), W_DTYPE),
             pltpu.SemaphoreType.DMA((STREAM_CACHE_SLOTS,)),
         ]
         pair_counts = scounts
@@ -867,7 +890,8 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
             x, active, tile_box, t_min, block_r=CULL_R
         )
         lane_bound = jnp.minimum(lane_bound, occ_t)
-        kernel = functools.partial(_mm_kernel, t_min=t_min)
+        kernel = functools.partial(_mm_kernel, t_min=t_min,
+                                   tile_p=tile_p)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -875,7 +899,7 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
             x_spec,
             pl.BlockSpec((BLOCK_R // 128, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # lane_bound
-            pl.BlockSpec((n_tiles, W_ROWS, 4 * TILE_P), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_tiles, W_ROWS, 4 * tile_p), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         args = (lists, counts, smin, x, lane_bound.reshape(n // 128, 128),
@@ -904,7 +928,7 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     # units keep long renders well inside float precision.
     pair_lanes = CULL_R_STREAM if stream else CULL_R
     tile_passes = jnp.sum(pair_counts).astype(jnp.float32) * (
-        pair_lanes * TILE_P / float(1 << 20)
+        pair_lanes * tile_p / float(1 << 20)
     )
     return t.reshape(n), idx.reshape(n), tile_passes
 
