@@ -157,6 +157,14 @@ def main() -> int:
                 "vs_baseline": round(best / BASELINE_MRAYS, 4),
                 "useful_flop_mfu": round(best_mfu, 5),
                 "single_shot_mrays": round(best_single, 3),
+                # BASELINE.md reported-metrics row: samples/sec scaled to a
+                # 1080p frame. samples/s = pixels*spp / seconds_per_render;
+                # seconds_per_render = rays_per_render / (best Mrays/s).
+                "spp_per_sec_1080p": round(
+                    (width * height * spp) * (best * 1e6) / (rays // PIPE)
+                    / 2073600.0,
+                    3,
+                ),
                 "compile_s": round(compile_s, 1),
             }
         )

@@ -732,8 +732,15 @@ def _cull_tile_lists(x, active, tile_box, t_min, block_r: int = BLOCK_R):
     gent = ent.reshape(nt, nb, block_r).min(axis=2).T  # (nb, nt)
     counts = hit.reshape(nt, nb, block_r).any(axis=2).T.sum(axis=1)
     counts = counts.astype(jnp.int32)
-    lists = jnp.argsort(gent, axis=1, stable=True).astype(jnp.int32)
-    smin = jnp.take_along_axis(gent, lists, axis=1)
+    # ONE two-operand sort returns the sorted entries AND the permutation:
+    # the argsort + take_along_axis formulation paid ~5 ns/element of
+    # scalar-gather tax for the take (5.2 ms/render per call site in the
+    # in-situ HLO profile — fusion.880/.867)
+    iota = jnp.broadcast_to(
+        jnp.arange(nt, dtype=jnp.int32)[None, :], gent.shape
+    )
+    smin, lists = jax.lax.sort((gent, iota), dimension=1, num_keys=1,
+                               is_stable=True)
     return lists, counts, smin, lane_bound
 
 
@@ -780,11 +787,15 @@ def _cull_stream_lists(x, active, tile_box, t_min):
     # union list: passing tiles first, ordered by block entry distance
     # (non-passing tiles have bent=+inf; ties broken by tile id — argsort
     # on the (entry, id) pair via stable sort)
-    uorder = jnp.argsort(bent, axis=1, stable=True).astype(jnp.int32)
+    # one two-operand sort: sorted entries + permutation, no gather (see
+    # _cull_tile_lists)
+    uiota = jnp.broadcast_to(
+        jnp.arange(nt, dtype=jnp.int32)[None, :], bent.shape
+    )
+    bent_sorted, uorder = jax.lax.sort(
+        (bent, uiota), dimension=1, num_keys=1, is_stable=True
+    )  # bent_sorted ascending
     ulists = uorder
-    # rme[b, k] = min entry among union positions >= k*S (suffix min of the
-    # sorted entries == the entry AT position k*S, +inf past the count)
-    bent_sorted = jnp.take_along_axis(bent, uorder, axis=1)  # ascending
     nbat = -(-nt // S)
     probe = jnp.minimum(jnp.arange(nbat + 1, dtype=jnp.int32) * S, nt - 1)
     rme = jnp.where(
