@@ -28,8 +28,10 @@ def main() -> int:
                     "production default; round-3 sweeps measured with the "
                     "old store_true default silently compared unsorted "
                     "configs)")
-    ap.add_argument("--sort-key", default="morton",
-                    choices=("morton", "tileset", "neartile"))
+    ap.add_argument("--sort-key", default="tileset",
+                    choices=("morton", "tileset", "neartile"),
+                    help="pool sort key (default matches the production "
+                    "RenderConfig.sort_key)")
     ap.add_argument("--pool", type=int, default=12, help="log2 pool size")
     ap.add_argument("--bpi", type=int, default=2)
     ap.add_argument("--spp", type=int, default=4)

@@ -46,7 +46,7 @@ class DeviceScene:
     #                  "pack" precision mode (pre-split hi/lo), f32 16 rows
     #                  otherwise
     mm_tri_ids: jax.Array  # int32 (Tmm,) column -> original primitive index
-    mm_refine: jax.Array  # float32 (Tmm, 16) [v0, e1, e2, n] per column
+    mm_refine: jax.Array  # float32 (Tmm, 8) [n, n.v0, prim, mat] rows
     mm_tile_box: jax.Array  # float32 (n_tiles, 8) per-tile AABB [lo3,_,hi3,_]
     # (32, 8) coarse AABBs over contiguous Morton tile-id ranges: the
     # wavefront's tile-set-signature sort key (one u32 bit per coarse box)
@@ -225,10 +225,10 @@ def upload_scene(
     prim_mat_id = prim_mat_id.astype(np.int32)
 
     # material ids ride inside the intersection row tables so the bounce
-    # pays zero id gathers (intersect_mm row col 13; sphere SoA)
+    # pays zero id gathers (intersect_mm row col 5; sphere SoA)
     refine = w["tri_refine"]
     tri_real = w["tri_ids"] >= 0
-    refine[tri_real, 13] = prim_mat_id[w["tri_ids"][tri_real]]
+    refine[tri_real, 5] = prim_mat_id[w["tri_ids"][tri_real]]
     sph_real = w["sph_ids"] >= 0
     sph_mat_id = np.zeros(w["sph_ids"].shape[0], np.int32)
     sph_mat_id[sph_real] = prim_mat_id[w["sph_ids"][sph_real]]

@@ -323,18 +323,28 @@ def build_weights(prim_type, p0, p1, p2):
     )
 
     # packed refinement table in KERNEL COLUMN order:
-    # [v0, e1, e2, n, prim_id, mat_id, pad2] — the winner's refine data,
-    # normal, ORIGINAL PRIMITIVE INDEX and MATERIAL BANK ID all cost ONE
-    # (N,16) row gather. Separate gathers for ids measured 31 ms/render
+    # [n, n.v0, prim_id, mat_id, pad2] — the winner's normal, EXACT plane
+    # offset, ORIGINAL PRIMITIVE INDEX and MATERIAL BANK ID all cost ONE
+    # (N,8) row gather. Separate gathers for ids measured 31 ms/render
     # each in the in-situ HLO profile (scalar-gather tax, ~9 ns/row); ids
-    # ride as exact small-integer f32 (|id| < 2^24). mat_id (col 13) is
+    # ride as exact small-integer f32 (|id| < 2^24). mat_id (col 5) is
     # filled by upload_scene once the material bank exists.
-    refine = np.zeros((t + pad_t, 16), np.float32)
-    refine[:t, 0:3] = v0
-    refine[:t, 3:6] = e1
-    refine[:t, 6:9] = e2
-    refine[:t, 9:12] = n
-    refine[:, 12] = tri_ids.astype(np.float32)
+    #
+    # The winner's t re-derives from the PLANE equation
+    # t = (n.v0 - n.o) / (n.d) — algebraically identical to Moller-
+    # Trumbore's st/sa for the winning triangle, at the same f32 accuracy,
+    # for a quarter of the round-2 full-MT refine's gather bytes and VPU
+    # ops. The u/v acceptance re-check the full refine ran was DISCARDED
+    # by design anyway: a kernel winner whose exact-precision re-test
+    # fails keeps its approximate t rather than reporting a miss (edge
+    # sparkle fix, ADVICE r1), so only the t value itself was ever used.
+    # n.v0 accumulates in f64 host-side before the f32 round.
+    refine = np.zeros((t + pad_t, 8), np.float32)
+    refine[:t, 0:3] = n
+    refine[:t, 3] = np.sum(
+        v0.astype(np.float64) * n.astype(np.float64), axis=1
+    ).astype(np.float32)
+    refine[:, 4] = tri_ids.astype(np.float32)
 
     # per-tile AABBs over the padded triangle order; padding tiles get empty
     # boxes (lo=+inf, hi=-inf) that fail every slab test
@@ -675,7 +685,7 @@ VMEM_RESIDENT_MAX_TRIS = int(
 )
 
 
-def _cull_hit_mask(o, d, active, tile_box, t_min):
+def _cull_hit_mask(o, d, active, tile_box, t_min, occ=None):
     """Vectorized XLA slab test. Returns (hit (nt, N) bool — can this
     active ray enter this tile's AABB?, enter (nt, N) f32 — the ray's
     entry distance into the box, >= t_min). Runs fused in the surrounding
@@ -708,10 +718,16 @@ def _cull_hit_mask(o, d, active, tile_box, t_min):
         enter = jnp.maximum(enter, jnp.where(jnp.isnan(a_lo), -_INF, a_lo))
         exit_ = jnp.minimum(exit_, jnp.where(jnp.isnan(a_hi), _INF, a_hi))
     hit = (exit_ > enter) & (active.reshape(1, n) > 0.5)  # (nt, N)
+    if occ is not None:
+        # exact prune: a hit inside the tile satisfies t >= enter, so a
+        # tile entered beyond the lane's known occlusion bound (the exact
+        # sphere pass / a shadow ray's light distance) cannot win the merge
+        hit &= enter <= occ.reshape(1, n)
     return hit, enter
 
 
-def _cull_tile_lists(x, active, tile_box, t_min, block_r: int = BLOCK_R):
+def _cull_tile_lists(x, active, tile_box, t_min, occ=None,
+                     block_r: int = BLOCK_R):
     """Per ray-block ENTRY-ORDERED passing-tile lists for the resident
     kernel. Returns:
       lists (nb, nt) int32: passing tiles first, nearest-entry first
@@ -726,7 +742,7 @@ def _cull_tile_lists(x, active, tile_box, t_min, block_r: int = BLOCK_R):
     n = o.shape[0]
     nb = n // block_r
     nt = tile_box.shape[0]
-    hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min)
+    hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min, occ)
     ent = jnp.where(hit, enter, _INF)  # (nt, n)
     lane_bound = jnp.max(jnp.where(hit, enter, -_INF), axis=0)  # (n,)
     gent = ent.reshape(nt, nb, block_r).min(axis=2).T  # (nb, nt)
@@ -744,7 +760,7 @@ def _cull_tile_lists(x, active, tile_box, t_min, block_r: int = BLOCK_R):
     return lists, counts, smin, lane_bound
 
 
-def _cull_stream_lists(x, active, tile_box, t_min):
+def _cull_stream_lists(x, active, tile_box, t_min, occ=None):
     """Streaming-kernel cull: ENTRY-ORDERED per-CULL_R-subgroup slot lists
     over the per-BLOCK_R union DMA list, plus the best-t early-exit tables.
 
@@ -777,7 +793,7 @@ def _cull_stream_lists(x, active, tile_box, t_min):
     nb = n // BLOCK_R
     sub = BLOCK_R // CULL_R_STREAM
     S = STREAM_CACHE_SLOTS
-    hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min)
+    hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min, occ)
     ent = jnp.where(hit, enter, _INF)  # (nt, n)
     lane_bound = jnp.max(jnp.where(hit, enter, -_INF), axis=0)  # (n,)
     sgm = hit.reshape(nt, n_sub, CULL_R_STREAM).any(axis=2).T  # (n_sub, nt)
@@ -856,7 +872,7 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     # block's rows at a time (large scenes have hundreds of tiles).
     if stream:
         slists, starts, ulists, ucounts, rme, lane_bound, scounts = (
-            _cull_stream_lists(x, active, tile_box, t_min)
+            _cull_stream_lists(x, active, tile_box, t_min, occ_t)
         )
         lane_bound = jnp.minimum(lane_bound, occ_t)
         nbat = starts.shape[1] - 1
@@ -898,7 +914,7 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
         pair_counts = scounts
     else:
         lists, counts, smin, lane_bound = _cull_tile_lists(
-            x, active, tile_box, t_min, block_r=CULL_R
+            x, active, tile_box, t_min, occ_t, block_r=CULL_R
         )
         lane_bound = jnp.minimum(lane_bound, occ_t)
         kernel = functools.partial(_mm_kernel, t_min=t_min,
@@ -1049,15 +1065,23 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None, occ_t=None):
         t_t, col = t_t[:n], col[:n]
         ccol = jnp.maximum(col, 0)
 
-        # ONE packed (N,16) row gather serves refine, normal, prim id and
-        # material id: [v0, e1, e2, n, prim_id, mat_id]
+        # ONE packed (N,8) row gather serves refine, normal, prim id and
+        # material id: [n, n.v0, prim_id, mat_id] (see build_weights — the
+        # winner's exact t comes from the plane equation, so the row no
+        # longer carries v0/e1/e2)
         row = scene.mm_refine[ccol]
-        v0 = row[:, 0:3]
-        e1 = row[:, 3:6]
-        e2 = row[:, 6:9]
-        i_t = row[:, 12].astype(jnp.int32)
-        m_t = row[:, 13].astype(jnp.int32)
-        t_exact = _mt_exact(o, d, v0, e1, e2, t_min)
+        nvec = row[:, 0:3]
+        ndotv0 = row[:, 3]
+        i_t = row[:, 4].astype(jnp.int32)
+        m_t = row[:, 5].astype(jnp.int32)
+        denom = vm.dot(nvec, d)  # = -a (MT's sa determinant), exact f32
+        parallel = jnp.abs(denom) <= TRI_PARALLEL_EPS
+        t_plane = (ndotv0 - vm.dot(nvec, o)) / jnp.where(
+            parallel, 1.0, denom
+        )
+        t_exact = jnp.where(
+            (~parallel) & (t_plane > t_min), t_plane, jnp.inf
+        )
         # If the exact re-refine rejects the kernel's approximate winner,
         # keep the approximate t (it passed the same acceptance tests in
         # matmul precision) rather than reporting a miss — dropping it
@@ -1068,7 +1092,7 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None, occ_t=None):
             tri_hit, jnp.where(jnp.isfinite(t_exact), t_exact, t_t), jnp.inf
         )
         i_t = jnp.where(tri_hit, i_t, -1)
-        tri_n = vm.normalize(row[:, 9:12])
+        tri_n = vm.normalize(nvec)
     else:
         t_t = jnp.full((n,), jnp.inf)
         i_t = jnp.full((n,), -1, jnp.int32)
