@@ -66,9 +66,14 @@ def main() -> int:
     scene = upload_scene(load_scene_xml(os.path.join(repo, "scenes", "reference.xml")))
     camera = Camera.reset()  # the reference's default view
     width, height = 1280, 720
-    cfg = RenderConfig(max_depth=32, bounces_per_iter=2)
+    # env knobs exist for perf sweeps only; the defaults are the shipped
+    # production configuration
+    cfg = RenderConfig(
+        max_depth=32,
+        bounces_per_iter=int(os.environ.get("MPT_BENCH_BPI", "2")),
+    )
     spp = 4
-    pool = 1 << 14  # re-swept after the drain-phase fix (docs/PERFORMANCE.md)
+    pool = 1 << int(os.environ.get("MPT_BENCH_POOL", "14"))
 
     @functools.partial(jax.jit, static_argnames=("spp", "pool"))
     def render(scene, camera, seed, spp, pool):

@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--tris", type=int, default=0,
                     help="profile a random_tri_cloud of this size (the "
                     "HBM-streaming kernel) instead of the reference scene")
+    ap.add_argument("--preset", default=None,
+                    help="profile a scene preset (e.g. reference_bunny70k)")
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     args = ap.parse_args()
@@ -58,7 +60,12 @@ def main() -> int:
     from metalpathtracer_tpu.render.integrator import RenderConfig
     from metalpathtracer_tpu.scene import load_scene_xml
 
-    if args.tris:
+    if args.preset:
+        from metalpathtracer_tpu.scene import presets
+
+        scene = upload_scene(getattr(presets, args.preset)())
+        camera = Camera.reset()
+    elif args.tris:
         from metalpathtracer_tpu.scene import presets
 
         scene = upload_scene(presets.random_tri_cloud(args.tris, seed=1))

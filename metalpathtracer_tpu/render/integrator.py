@@ -507,8 +507,16 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     bank_k = 1
     if spb == spp:  # only group when a lane already owns whole pixels
         k_req = cfg.bank_k or int(os.environ.get("MPT_BANK_K", "8"))
+        explicit = bool(cfg.bank_k) or "MPT_BANK_K" in os.environ
         for k in (16, 8, 4, 2, 1):
-            if k <= k_req and n_pix % k == 0 and n_pix // k >= pool:
+            # queue-depth guard: grouping at K shortens the work queue by
+            # K, and a queue below ~4 pool-fills pushes work into the
+            # drain tail (K paths per straggler item). Prefer the largest
+            # K that keeps >= 4 fills; an explicit cfg/env request
+            # overrides for sweeps.
+            deep_enough = explicit or (n_pix // k) * chunks >= 4 * pool
+            if k <= k_req and n_pix % k == 0 and n_pix // k >= pool \
+                    and deep_enough:
                 bank_k = k
                 break
     groups = n_pix // bank_k
@@ -657,6 +665,127 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             alive=st["alive"] | restart,
         )
 
+    def maybe_sort(st, pend_idx=None, pend_rgb=None):
+        # origin-locality sort: tile lists are per CULL_R-lane subgroup,
+        # so grouping lanes by origin Morton cell makes BOUNCED
+        # subgroups cull like coherent primaries (the per-block-ANY
+        # union covers everything otherwise — docs/PERFORMANCE.md cull
+        # diagnostic). The permutation rides through two packed
+        # matrices — 2 wide row-gathers instead of 11 per-array gathers
+        # (the round-1 version whose cost killed the idea).
+        o, d, alive = st["o"], st["d"], st["alive"]
+        span = jnp.maximum(scene.node_hi[0] - scene.node_lo[0], 1e-6)
+        q = jnp.clip(
+            (o - scene.node_lo[0]) / span * 31.0, 0.0, 31.0
+        ).astype(jnp.uint32)
+
+        def spread3(v):  # part1by2 (works for <=10-bit inputs)
+            v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+            v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+            v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+            v = (v | (v << 2)) & jnp.uint32(0x09249249)
+            return v
+
+        if cfg.sort_key == "neartile":
+            # nearest-passing-FINE-tile major key: subgroups then share
+            # their first entry-ordered tile, which is exactly when the
+            # while-loop best-t exit fires after ~1 tile. Morton origin
+            # + octant ride as the minor key to keep spatial locality
+            # within equal-tile clusters.
+            from metalpathtracer_tpu.render.pallas.intersect_mm import (
+                _cull_hit_mask,
+            )
+
+            fhit, fent = _cull_hit_mask(
+                o, d, alive.astype(jnp.float32),
+                scene.mm_tile_box, T_MIN,
+            )  # (nt, n)
+            ent = jnp.where(fhit, fent, jnp.inf)
+            near = jnp.argmin(ent, axis=0).astype(jnp.uint32)
+            none = ~jnp.any(fhit, axis=0)
+            nt_ = scene.mm_tile_box.shape[0]
+            shift = max(0, nt_.bit_length() - 10)
+            near = jnp.where(
+                none, jnp.uint32(1023), (near >> shift).astype(jnp.uint32)
+            )
+            morton = (
+                spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                | (spread3(q[:, 2]) << 2)
+            )
+            octant = (
+                (d[:, 0] > 0).astype(jnp.uint32)
+                | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
+            )
+            key = (near << 18) | ((morton & jnp.uint32(0x7FFF)) << 3) | octant
+        elif cfg.sort_key == "tileset":
+            # signature key: one slab-test bit per coarse tile-range
+            # AABB (the EXACT quantity the subgroup cull unions — rays
+            # with equal signatures cost their subgroup exactly their
+            # shared tiles). The mask is built bit 0 = coarse range 0
+            # (low Morton tiles), so lexicographic u32 order also
+            # groups by nearest-range first.
+            from metalpathtracer_tpu.render.pallas.intersect_mm import (
+                _cull_hit_mask,
+            )
+
+            chit, _ = _cull_hit_mask(
+                o, d, alive.astype(jnp.float32),
+                scene.mm_coarse_box, T_MIN,
+            )  # (32, n) bool
+            bits = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+            key = jnp.sum(
+                chit.astype(jnp.uint32) * bits[:, None], axis=0,
+                dtype=jnp.uint32,
+            )
+            # dead lanes and no-tile lanes both map to 0 — they do no
+            # kernel work either way, so sharing a cluster is free
+        else:
+            morton = (
+                spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                | (spread3(q[:, 2]) << 2)
+            )
+            octant = (
+                (d[:, 0] > 0).astype(jnp.uint32)
+                | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+                | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
+            )
+            # origin-major key: octant-major measured 11.34 vs 12.43
+            # Mrays/s — the slab cull is origin-dominated, so origin
+            # locality is what shrinks subgroup lists
+            key = (
+                jnp.where(alive, jnp.uint32(0), jnp.uint32(1) << 31)
+                | (morton << 3)
+                | octant
+            )
+        perm = jnp.argsort(key)
+        ka = 3 * bank_k  # acc / pend_rgb column width
+        fparts = [st["o"], st["d"], st["acc"], st["light"], st["tp"],
+                  st["prev_pdf"][:, None]]
+        iparts = [st["item"].astype(jnp.int32),
+                  st["schunk"].astype(jnp.int32),
+                  st["bounce"],
+                  st["alive"].astype(jnp.int32)]
+        if pend_rgb is not None:  # feed phase: pending banks ride along
+            fparts.append(pend_rgb)
+            iparts.append(pend_idx.astype(jnp.int32))
+        fpack = jnp.concatenate(fparts, axis=1)[perm]
+        ipack = jnp.stack(iparts, axis=1)[perm]
+        st = dict(
+            st,
+            o=fpack[:, 0:3], d=fpack[:, 3:6], acc=fpack[:, 6:6 + ka],
+            light=fpack[:, 6 + ka:9 + ka], tp=fpack[:, 9 + ka:12 + ka],
+            prev_pdf=fpack[:, 12 + ka],
+            item=ipack[:, 0].astype(jnp.uint32),
+            schunk=ipack[:, 1].astype(jnp.uint32),
+            bounce=ipack[:, 2],
+            alive=ipack[:, 3] > 0,
+        )
+        if pend_rgb is None:
+            return st
+        return st, ipack[:, 4].astype(jnp.uint32), fpack[:, 13 + ka:]
+
+
     def cond(st):
         # feed phase only: once the work queue is exhausted the drain phase
         # below takes over with a shrinking pool (a terminated lane can no
@@ -696,126 +825,6 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 jnp.uint32(total),
             )
             return (st, pend_idx, pend_rgb, next_item)
-
-        def maybe_sort(st, pend_idx, pend_rgb):
-            # origin-locality sort: tile lists are per CULL_R-lane subgroup,
-            # so grouping lanes by origin Morton cell makes BOUNCED
-            # subgroups cull like coherent primaries (the per-block-ANY
-            # union covers everything otherwise — docs/PERFORMANCE.md cull
-            # diagnostic). The permutation rides through two packed
-            # matrices — 2 wide row-gathers instead of 11 per-array gathers
-            # (the round-1 version whose cost killed the idea).
-            o, d, alive = st["o"], st["d"], st["alive"]
-            span = jnp.maximum(scene.node_hi[0] - scene.node_lo[0], 1e-6)
-            q = jnp.clip(
-                (o - scene.node_lo[0]) / span * 31.0, 0.0, 31.0
-            ).astype(jnp.uint32)
-
-            def spread3(v):  # part1by2 (works for <=10-bit inputs)
-                v = (v | (v << 16)) & jnp.uint32(0x030000FF)
-                v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
-                v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
-                v = (v | (v << 2)) & jnp.uint32(0x09249249)
-                return v
-
-            if cfg.sort_key == "neartile":
-                # nearest-passing-FINE-tile major key: subgroups then share
-                # their first entry-ordered tile, which is exactly when the
-                # while-loop best-t exit fires after ~1 tile. Morton origin
-                # + octant ride as the minor key to keep spatial locality
-                # within equal-tile clusters.
-                from metalpathtracer_tpu.render.pallas.intersect_mm import (
-                    _cull_hit_mask,
-                )
-
-                fhit, fent = _cull_hit_mask(
-                    o, d, alive.astype(jnp.float32),
-                    scene.mm_tile_box, T_MIN,
-                )  # (nt, n)
-                ent = jnp.where(fhit, fent, jnp.inf)
-                near = jnp.argmin(ent, axis=0).astype(jnp.uint32)
-                none = ~jnp.any(fhit, axis=0)
-                nt_ = scene.mm_tile_box.shape[0]
-                shift = max(0, nt_.bit_length() - 10)
-                near = jnp.where(
-                    none, jnp.uint32(1023), (near >> shift).astype(jnp.uint32)
-                )
-                morton = (
-                    spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
-                    | (spread3(q[:, 2]) << 2)
-                )
-                octant = (
-                    (d[:, 0] > 0).astype(jnp.uint32)
-                    | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
-                    | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
-                )
-                key = (near << 18) | ((morton & jnp.uint32(0x7FFF)) << 3) | octant
-            elif cfg.sort_key == "tileset":
-                # signature key: one slab-test bit per coarse tile-range
-                # AABB (the EXACT quantity the subgroup cull unions — rays
-                # with equal signatures cost their subgroup exactly their
-                # shared tiles). The mask is built bit 0 = coarse range 0
-                # (low Morton tiles), so lexicographic u32 order also
-                # groups by nearest-range first.
-                from metalpathtracer_tpu.render.pallas.intersect_mm import (
-                    _cull_hit_mask,
-                )
-
-                chit, _ = _cull_hit_mask(
-                    o, d, alive.astype(jnp.float32),
-                    scene.mm_coarse_box, T_MIN,
-                )  # (32, n) bool
-                bits = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-                key = jnp.sum(
-                    chit.astype(jnp.uint32) * bits[:, None], axis=0,
-                    dtype=jnp.uint32,
-                )
-                # dead lanes and no-tile lanes both map to 0 — they do no
-                # kernel work either way, so sharing a cluster is free
-            else:
-                morton = (
-                    spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
-                    | (spread3(q[:, 2]) << 2)
-                )
-                octant = (
-                    (d[:, 0] > 0).astype(jnp.uint32)
-                    | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
-                    | ((d[:, 2] > 0).astype(jnp.uint32) << 2)
-                )
-                # origin-major key: octant-major measured 11.34 vs 12.43
-                # Mrays/s — the slab cull is origin-dominated, so origin
-                # locality is what shrinks subgroup lists
-                key = (
-                    jnp.where(alive, jnp.uint32(0), jnp.uint32(1) << 31)
-                    | (morton << 3)
-                    | octant
-                )
-            perm = jnp.argsort(key)
-            ka = 3 * bank_k  # acc / pend_rgb column width
-            fpack = jnp.concatenate(
-                [st["o"], st["d"], st["acc"], st["light"], st["tp"],
-                 st["prev_pdf"][:, None], pend_rgb],
-                axis=1,
-            )[perm]
-            ipack = jnp.stack(
-                [st["item"].astype(jnp.int32),
-                 st["schunk"].astype(jnp.int32),
-                 st["bounce"],
-                 st["alive"].astype(jnp.int32),
-                 pend_idx.astype(jnp.int32)],
-                axis=1,
-            )[perm]
-            st = dict(
-                st,
-                o=fpack[:, 0:3], d=fpack[:, 3:6], acc=fpack[:, 6:6 + ka],
-                light=fpack[:, 6 + ka:9 + ka], tp=fpack[:, 9 + ka:12 + ka],
-                prev_pdf=fpack[:, 12 + ka],
-                item=ipack[:, 0].astype(jnp.uint32),
-                schunk=ipack[:, 1].astype(jnp.uint32),
-                bounce=ipack[:, 2],
-                alive=ipack[:, 3] > 0,
-            )
-            return st, ipack[:, 4].astype(jnp.uint32), fpack[:, 13 + ka:]
 
         def sort_block(_, carry):
             carry = jax.lax.fori_loop(0, sort_every, one_advance, carry)
@@ -858,15 +867,46 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     drain["light"] = jnp.where(dead0[:, None], 0.0, drain["light"])
     drain["acc"] = jnp.where(dead0[:, None], 0.0, drain["acc"])
 
+    # drain-phase sorting: ON for VMEM-resident scenes (bunny70k chip:
+    # 5.50 -> 5.67 Mrays/s — short-queue configs spend ~half their
+    # advances in the drain, and its unsorted round-2 form decohered
+    # subgroup tile lists for exactly that half), OFF for HBM-streaming
+    # scenes (1M incoherent cloud: 0.56 -> 0.38 — full-union workloads
+    # pay the argsort+gathers for zero pair reduction). Env override for
+    # sweeps.
+    from metalpathtracer_tpu.render.pallas.intersect_mm import (
+        VMEM_RESIDENT_MAX_TRIS,
+    )
+
+    _ds_env = os.environ.get("MPT_DRAIN_SORT", "")
+    drain_sort = (
+        (_ds_env == "1")
+        if _ds_env
+        else (
+            cfg.sort_lanes
+            and 0 < scene.num_tris <= VMEM_RESIDENT_MAX_TRIS
+        )
+    )
+
     def drain_stage(st, stop_below: int):
-        """Advance bounces (no queue) until live lanes fit `stop_below`."""
+        """Advance bounces (no queue) until live lanes fit `stop_below`,
+        sorting the pool on the feed cadence when `drain_sort` (see above).
+        The checked-every-sort_every stop condition just means a stage can
+        overshoot a few advances — later stages flush the extra dead lanes
+        all the same."""
 
         def dcond(s):
             return jnp.sum(s["alive"], dtype=jnp.int32) > stop_below
 
-        def dbody(s):
+        def done_adv(_, s):
             s, path_done, more, bank = advance(s)
             return restart_lanes(s, more)
+
+        def dbody(s):
+            s = jax.lax.fori_loop(0, sort_every, done_adv, s)
+            if drain_sort:
+                s = maybe_sort(s)
+            return s
 
         return jax.lax.while_loop(dcond, dbody, st)
 

@@ -75,16 +75,18 @@ TILE_P_LARGE = 256
 TILE_SWITCH_TRIS = int(os.environ.get("MPT_TILE_SWITCH", str(24 * 1024)))
 # cull granularity WITHIN a kernel block: tile lists are built per CULL_R
 # consecutive lanes (the kernel processes each subgroup against its own
-# list). One list per 1024 incoherent lanes tests the UNION of their tiles
-# (the bounced-ray diagnostic in docs/PERFORMANCE.md measured 20/20 tiles
-# passing); finer lists cut matmul pairs wherever rays share any locality.
-# Must divide BLOCK_R and be a multiple of 128. The RESIDENT kernel runs
-# 256 with U4 chunks: the (256, 64) matmul amortizes MXU weight loads and
-# with pool sorting the coarser union barely grows (chip: 21.1 vs 19.3
-# Mrays/s at 128/U2 — the round-2 "128 is best" sweep was re-run sorted
-# this round and flipped). The STREAMING kernel stays at 128: its blocked
-# SMEM list specs need >= 8 subgroups per 1024-lane block.
-CULL_R = int(os.environ.get("MPT_CULL_R", "256"))
+# list). One list per 1024 incoherent lanes tests the UNION of their tiles;
+# finer lists cut matmul pairs wherever rays share any locality. Must
+# divide BLOCK_R and be a multiple of 128. 0 = auto PER SCENE in
+# _tri_hit_mm_padded: 256 up to TILE_SWITCH_TRIS, 128 beyond (bunny70k
+# chip sweep: 128/256/512 -> 5.50/5.01/4.63 Mrays/s — large scenes have
+# long tile lists whose pair-count halving beats the per-subgroup fixed
+# costs; the reference scene measured the opposite, 25.2 at 128 vs 26.8
+# at 256). The STREAMING kernel stays at 128: its blocked SMEM list specs
+# need >= 8 subgroups per 1024-lane block.
+CULL_R = int(os.environ.get("MPT_CULL_R", "0"))
+CULL_R_SMALL = 256
+CULL_R_LARGE = 128
 CULL_R_STREAM = int(os.environ.get("MPT_CULL_R_STREAM", "128"))
 # pack the tile argmin's (t, column) into one int32 key (bitcast f32 t is
 # order-preserving for positives; the low 8 mantissa bits carry the
@@ -468,7 +470,7 @@ def _tile_epilogue(block, i, col, best_t, best_i, t_min, tile_p):
 
 
 def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
-               t_ref, idx_ref, *, t_min: float, tile_p: int):
+               t_ref, idx_ref, *, t_min: float, tile_p: int, cull_r: int):
     """VMEM-resident weights. Work-skipping design (see docs/PERFORMANCE.md):
     the passing-tile lists are computed OUTSIDE the kernel (vectorized XLA
     cull) per CULL_R-lane SUBGROUP and arrive as SMEM inputs, ENTRY-ORDERED
@@ -480,14 +482,14 @@ def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
     TPU, and an in-kernel scalar cull loop costs ~1.7us/iteration — so
     neither appears here; the prune is the loop CONDITION, not a branch."""
     cell = pl.program_id(0)
-    sub = BLOCK_R // CULL_R
-    rows = CULL_R // 128
+    sub = BLOCK_R // cull_r
+    rows = cull_r // 128
     u_res = TILE_UNROLL_RES or (8 if tile_p <= 128 else 4)
-    col = jax.lax.broadcasted_iota(jnp.int32, (CULL_R, tile_p), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cull_r, tile_p), 1)
     xp = _prep_x(x_ref[:])  # hi/lo split + concat ONCE per block
 
     for sg in range(sub):  # static unroll over subgroups
-        xs = xp[sg * CULL_R : (sg + 1) * CULL_R, :]
+        xs = xp[sg * cull_r : (sg + 1) * cull_r, :]
         g = cell * sub + sg
         lb2 = lb_ref[sg * rows : (sg + 1) * rows, :]  # (rows, 128) 2-D
         cnt = counts_ref[g]
@@ -515,7 +517,7 @@ def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
             return (j + u_res, thr, best_t, best_i)
 
         init = (jnp.int32(0), jnp.max(lb2),
-                jnp.full((CULL_R,), _INF), jnp.full((CULL_R,), -1, jnp.int32))
+                jnp.full((cull_r,), _INF), jnp.full((cull_r,), -1, jnp.int32))
         _, _, best_t, best_i = jax.lax.while_loop(cond, tile_body, init)
         # (8, 128)-tiled output blocks: a (B, 1) layout puts one element per
         # sublane row and costs ~12us/cell of pure write overhead
@@ -727,7 +729,7 @@ def _cull_hit_mask(o, d, active, tile_box, t_min, occ=None):
 
 
 def _cull_tile_lists(x, active, tile_box, t_min, occ=None,
-                     block_r: int = BLOCK_R):
+                     block_r: int = 256):
     """Per ray-block ENTRY-ORDERED passing-tile lists for the resident
     kernel. Returns:
       lists (nb, nt) int32: passing tiles first, nearest-entry first
@@ -851,6 +853,10 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     n = x.shape[0]
     n_tiles = w_all.shape[0]  # (n_tiles, W_ROWS, 4*tile_p)
     tile_p = w_all.shape[2] // 4  # per-scene tile size (build_weights)
+    cull_r = CULL_R or (
+        CULL_R_SMALL if n_tiles * tile_p <= TILE_SWITCH_TRIS
+        else CULL_R_LARGE
+    )
     grid = (n // BLOCK_R,)
     sub = BLOCK_R // CULL_R_STREAM  # stream-branch spec grouping
 
@@ -914,11 +920,11 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
         pair_counts = scounts
     else:
         lists, counts, smin, lane_bound = _cull_tile_lists(
-            x, active, tile_box, t_min, occ_t, block_r=CULL_R
+            x, active, tile_box, t_min, occ_t, block_r=cull_r
         )
         lane_bound = jnp.minimum(lane_bound, occ_t)
         kernel = functools.partial(_mm_kernel, t_min=t_min,
-                                   tile_p=tile_p)
+                                   tile_p=tile_p, cull_r=cull_r)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -953,7 +959,7 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     # pairs") — the MFU numerator (each passing subgroup-list entry runs
     # CULL_R x TILE_P Moller-Trumbore tests on the MXU). f32 mega-pair
     # units keep long renders well inside float precision.
-    pair_lanes = CULL_R_STREAM if stream else CULL_R
+    pair_lanes = CULL_R_STREAM if stream else cull_r
     tile_passes = jnp.sum(pair_counts).astype(jnp.float32) * (
         pair_lanes * tile_p / float(1 << 20)
     )
