@@ -68,12 +68,16 @@ def main() -> int:
     width, height = 1280, 720
     # env knobs exist for perf sweeps only; the defaults are the shipped
     # production configuration
+    # bpi=1 / pool 2^15: re-swept at the late-round-3 engine (chip:
+    # bpi 1/2/3 -> 30.1/28.6/25.2 at pool 2^14; pool 2^14/15/16 ->
+    # 30.1/32.1/27.0 at bpi 1). The round-2 "bpi=2 wins" verdict flipped
+    # once banking + sort restructures made the per-advance regen cheap.
     cfg = RenderConfig(
         max_depth=32,
-        bounces_per_iter=int(os.environ.get("MPT_BENCH_BPI", "2")),
+        bounces_per_iter=int(os.environ.get("MPT_BENCH_BPI", "1")),
     )
     spp = 4
-    pool = 1 << int(os.environ.get("MPT_BENCH_POOL", "14"))
+    pool = 1 << int(os.environ.get("MPT_BENCH_POOL", "15"))
 
     @functools.partial(jax.jit, static_argnames=("spp", "pool"))
     def render(scene, camera, seed, spp, pool):

@@ -485,7 +485,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             "chunks via render_image/sample_offset instead"
         )
     if pool_size is None:
-        pool_size = min(n_pix * spp, 1 << 16)
+        pool_size = min(n_pix * spp, 1 << 15)  # 2^15 swept optimal (chip: 2^14/15/16 -> 30.1/32.1/27.0 Mrays/s at bpi 1)
     pool = int(pool_size)
 
     # samples-per-bank: when the image carries enough parallelism, one lane

@@ -153,7 +153,7 @@ def render_image_wavefront(
     if spp <= 0:
         raise ValueError(f"spp must be positive, got {spp}")
     if pool_size is None:
-        pool_size = min(width * height * spp, 1 << 16)
+        pool_size = min(width * height * spp, 1 << 15)  # 2^15 swept optimal (chip: 2^14/15/16 -> 30.1/32.1/27.0 Mrays/s at bpi 1)
     rgb_sum, rays = _render_wavefront_jit(
         scene, camera, width, height, spp, rng.seed_from_int(seed), cfg,
         int(pool_size),
