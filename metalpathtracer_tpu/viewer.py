@@ -221,8 +221,12 @@ def run_viewer(scene_path: str, width: int = 512, height: int = 288,
     # bpi=2: the per-iteration regen machinery amortizes over two bounce
     # steps (round-2 sweep: bpi 1 measured ~1.6x slower end to end)
     # bpi=1: re-swept late round 3 (chip bench 30.1 vs 28.6 at bpi 2 —
-    # the banking/sort restructures made per-advance regen cheap)
-    cfg = RenderConfig(max_depth=max_depth, bounces_per_iter=1)
+    # the banking/sort restructures made per-advance regen cheap); env
+    # override for interactive-latency sweeps
+    cfg = RenderConfig(
+        max_depth=max_depth,
+        bounces_per_iter=int(os.environ.get("MPT_VIEWER_BPI", "1")),
+    )
     state = init_accum(width, height)
     inputs = InputState()
     use_wavefront = integrator == "wavefront"
