@@ -85,7 +85,12 @@ TILE_SWITCH_TRIS = int(os.environ.get("MPT_TILE_SWITCH", str(24 * 1024)))
 # at 256). The STREAMING kernel stays at 128: its blocked SMEM list specs
 # need >= 8 subgroups per 1024-lane block.
 CULL_R = int(os.environ.get("MPT_CULL_R", "0"))
-CULL_R_SMALL = 256
+# both 128 since the bpi-1/pool-2^15 retune: the reference scene flipped
+# from 256 (26.8 vs 25.2 at the old defaults) to 128 (32.8 vs 31.9 —
+# deeper sorted pools cluster lanes well enough that finer subgroups cut
+# pairs 31% without the fixed-cost penalty). The per-scene split
+# machinery stays for the next flip.
+CULL_R_SMALL = 128
 CULL_R_LARGE = 128
 CULL_R_STREAM = int(os.environ.get("MPT_CULL_R_STREAM", "128"))
 # pack the tile argmin's (t, column) into one int32 key (bitcast f32 t is
