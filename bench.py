@@ -111,7 +111,7 @@ def main() -> int:
     # which back-to-back dispatch hides — exactly how the progressive
     # renderer and the viewer operate in production. The single-shot
     # number is reported alongside as `single_shot_mrays`.
-    PIPE = 3
+    PIPE = int(os.environ.get("MPT_BENCH_PIPE", "3"))
     best, best_mfu, best_single = 0.0, 0.0, 0.0
     for rep in range(4):
         t0 = time.perf_counter()

@@ -33,6 +33,8 @@ def main() -> int:
     ap.add_argument("--out-dir", default=os.path.join(REPO, "runs"))
     ap.add_argument("--scale", type=int, default=1,
                     help="divide resolutions by N (CPU smoke runs)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="time the first (compile-inclusive) pass")
     args = ap.parse_args()
     wanted = {int(c) for c in args.configs.split(",")}
 
@@ -84,8 +86,30 @@ def main() -> int:
             c["scene"] = c["preset"]
         else:
             scene = upload_scene(load_scene_xml(scene_path(c["scene"])))
+
+        def run_once(seed_off=0):
+            return _render_config(c, scene, idx + seed_off)
+
+        # warmup pass eats the compile so `seconds` is render time (a
+        # compile-inclusive first pass reported e.g. config 3 at 0.07
+        # Mrays/s — 20x under its real speed); --no-warmup restores the
+        # one-pass behavior for total-wall studies
+        if not args.no_warmup:
+            img, _ = run_once()
+            jax.block_until_ready(img)
         t0 = time.perf_counter()
-        if c.get("shard") and jax.device_count() > 1:
+        img, rays = run_once(100)
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        _write_and_record(args, results, idx, c, img, rays, dt)
+    print(json.dumps({"configs": results}))
+    return 0
+
+
+def _render_config(c, scene, seed):
+    import jax
+
+    if c.get("shard") and jax.device_count() > 1:
             # config 5 verbatim: tile-sharded PROGRESSIVE accumulation —
             # wavefront steps into a mesh-sharded AccumState, then resolve
             from metalpathtracer_tpu.parallel import (
@@ -101,36 +125,38 @@ def main() -> int:
             while int(state.spp) < c["spp"]:
                 n = min(step, c["spp"] - int(state.spp))
                 state, r = accumulate_sharded(
-                    state, scene, c["cam"], n_samples=n, seed=idx,
+                    state, scene, c["cam"], n_samples=n, seed=seed,
                     cfg=c["cfg"], mesh=mesh,
                 )
                 rays += r
-            img = state.rgb_sum / c["spp"]
-        else:
-            img, rays = render_image_wavefront(
-                scene, c["cam"], c["w"], c["h"], c["spp"], seed=idx,
-                cfg=c["cfg"],
-            )
-        jax.block_until_ready(img)
-        dt = time.perf_counter() - t0
-        out = os.path.join(args.out_dir, f"config{idx}.png")
-        import numpy as np
+            return state.rgb_sum / c["spp"], rays
+    from metalpathtracer_tpu.render import render_image_wavefront
 
-        write_png(out, np.asarray(img))
-        rec = {
-            "config": idx,
-            "scene": c["scene"],
-            "resolution": f"{c['w']}x{c['h']}",
-            "spp": c["spp"],
-            "seconds": round(dt, 3),
-            "spp_per_sec": round(c["spp"] / dt, 3),
-            "mrays_per_sec": round(rays / dt / 1e6, 3),
-            "output": out,
-        }
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
-    print(json.dumps({"configs": results}))
-    return 0
+    return render_image_wavefront(
+        scene, c["cam"], c["w"], c["h"], c["spp"], seed=seed,
+        cfg=c["cfg"],
+    )
+
+
+def _write_and_record(args, results, idx, c, img, rays, dt):
+    import numpy as np
+
+    from metalpathtracer_tpu.io import write_png
+
+    out = os.path.join(args.out_dir, f"config{idx}.png")
+    write_png(out, np.asarray(img))
+    rec = {
+        "config": idx,
+        "scene": c["scene"],
+        "resolution": f"{c['w']}x{c['h']}",
+        "spp": c["spp"],
+        "seconds": round(dt, 3),
+        "spp_per_sec": round(c["spp"] / dt, 3),
+        "mrays_per_sec": round(rays / dt / 1e6, 3),
+        "output": out,
+    }
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
