@@ -23,7 +23,7 @@ so testing a block of B rays against a tile of T triangles is four
 gathers, zero divergence, everything resident in VMEM. u = su/a, v = sv/a,
 t = st/a reproduce the reference's acceptance tests (same 1e-5 parallel
 epsilon, 1e-4 t_min; `PathTracing.h:143-176`); the winner's t is then
-re-refined with the sequential oracle formula for full f32 accuracy.
+re-derived exactly from the plane equation for full f32 accuracy.
 
 Spheres do NOT go through the matmul: the expanded quadratic
 (|o|^2 - 2 o.c + |c|^2 - r^2) catastrophically cancels for the reference's
@@ -417,7 +417,7 @@ def _tile_epilogue(block, i, col, best_t, best_i, t_min, tile_p):
     - `u <= 1` is dropped: implied by v >= 0 and u + v <= 1;
     - the candidate t used for tile argmin / best-t pruning comes from a
       fast approximate reciprocal (the winner's t is re-derived exactly in
-      f32 by the caller's _mt_exact refine, so the approximation can only
+      f32 by the caller's plane-t refine, so the approximation can only
       reorder near-ties — the same class as the tolerated matmul edge
       flips)."""
     sa = block[:, 0:tile_p]
@@ -969,28 +969,6 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
         pair_lanes * tile_p / float(1 << 20)
     )
     return t.reshape(n), idx.reshape(n), tile_passes
-
-
-def _mt_exact(o, d, v0, e1, e2, t_min):
-    """Sequential Moller-Trumbore on pre-expanded edges (the oracle
-    `intersect.ray_triangle` recomputes e1/e2 from vertices; here they come
-    from the packed refine table)."""
-    from metalpathtracer_tpu.core import vecmath as vm
-
-    h = vm.cross(d, e2)
-    a = vm.dot(e1, h)
-    parallel = jnp.abs(a) <= TRI_PARALLEL_EPS
-    f = 1.0 / jnp.where(parallel, 1.0, a)
-    s = o - v0
-    u = f * vm.dot(s, h)
-    q = vm.cross(s, e1)
-    v = f * vm.dot(d, q)
-    t = f * vm.dot(e2, q)
-    ok = (
-        (~parallel) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (t > t_min)
-    )
-    return jnp.where(ok, t, jnp.inf)
 
 
 def _sphere_hit_exact(scene, o, d, t_min):
