@@ -867,25 +867,19 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     drain["light"] = jnp.where(dead0[:, None], 0.0, drain["light"])
     drain["acc"] = jnp.where(dead0[:, None], 0.0, drain["acc"])
 
-    # drain-phase sorting: ON for VMEM-resident scenes (bunny70k chip:
-    # 5.50 -> 5.67 Mrays/s — short-queue configs spend ~half their
-    # advances in the drain, and its unsorted round-2 form decohered
-    # subgroup tile lists for exactly that half), OFF for HBM-streaming
-    # scenes (1M incoherent cloud: 0.56 -> 0.38 — full-union workloads
-    # pay the argsort+gathers for zero pair reduction). Env override for
-    # sweeps.
-    from metalpathtracer_tpu.render.pallas.intersect_mm import (
-        VMEM_RESIDENT_MAX_TRIS,
-    )
-
+    # drain-phase sorting: ON whenever feed sorting is on (bunny70k chip:
+    # 5.50 -> 5.67, bunny300k streaming 3.52 -> 3.79 — short-queue configs
+    # spend ~half their advances in the drain, and its unsorted round-2
+    # form decohered subgroup tile lists for exactly that half). The one
+    # measured loser is the adversarial incoherent cloud (~-8%: full
+    # unions by construction, so the sort buys nothing) — coherence, not
+    # residency, is the real dimension, and it isn't statically
+    # detectable; real scenes are coherent. Env override for sweeps.
     _ds_env = os.environ.get("MPT_DRAIN_SORT", "")
     drain_sort = (
         (_ds_env == "1")
         if _ds_env
-        else (
-            cfg.sort_lanes
-            and 0 < scene.num_tris <= VMEM_RESIDENT_MAX_TRIS
-        )
+        else (cfg.sort_lanes and scene.num_tris > 0)
     )
 
     def drain_stage(st, stop_below: int):

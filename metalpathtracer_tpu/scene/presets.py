@@ -139,6 +139,32 @@ def reference_bunny70k(bunny_path: str | None = None) -> HostScene:
     return s
 
 
+def reference_bunny300k(bunny_path: str | None = None) -> HostScene:
+    """The reference scene with the bunny midpoint-subdivided three times
+    (4,968 -> 317,952 tris): a COHERENT mesh past the VMEM residency cap,
+    so the HBM-streaming intersector gets a fair benchmark (the only
+    other streaming-scale scene is the adversarial incoherent
+    random_tri_cloud, which is bounded by geometry statistics — every
+    subgroup union covers ~all tiles by construction)."""
+    import os
+
+    from metalpathtracer_tpu.scene.obj_loader import load_obj
+    from metalpathtracer_tpu.scene.procgen import subdivide
+
+    if bunny_path is None:
+        bunny_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "assets", "bunny.obj",
+        )
+    s = reference_default()
+    verts, faces = load_obj(bunny_path)
+    verts, faces = subdivide(verts, faces, levels=3)
+    s.add_mesh(verts, faces, position=(-25, 0, 0), scale=10.0,
+               material=Material(albedo=(0.9, 0.5, 0.3),
+                                 material_type=1.0, fuzz=0.15))
+    return s
+
+
 def random_tri_cloud(n_tris: int, seed: int = 0, extent: float = 10.0) -> HostScene:
     """Synthetic triangle soup for BVH scaling benchmarks."""
     rng = np.random.default_rng(seed)
