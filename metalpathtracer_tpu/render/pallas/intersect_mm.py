@@ -489,7 +489,8 @@ def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
     cell = pl.program_id(0)
     sub = BLOCK_R // cull_r
     rows = cull_r // 128
-    u_res = TILE_UNROLL_RES or (8 if tile_p <= 128 else 4)
+    # 6 at tile_p 128 re-swept at CULL_R 128 (4/6/8 -> 32.3/33.2/32.7)
+    u_res = TILE_UNROLL_RES or (6 if tile_p <= 128 else 4)
     col = jax.lax.broadcasted_iota(jnp.int32, (cull_r, tile_p), 1)
     xp = _prep_x(x_ref[:])  # hi/lo split + concat ONCE per block
 
