@@ -867,6 +867,13 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     sub = BLOCK_R // CULL_R_STREAM  # stream-branch spec grouping
 
     stream = (n_tiles * tile_p) > VMEM_RESIDENT_MAX_TRIS
+    # SMEM guard: the resident kernel ships its lists + smin as WHOLE
+    # (n_sub, n_tiles) SMEM arrays (4B each); past ~1 MB Mosaic fails with
+    # "Ran out of memory in memory space smem" (hit at tile_p=128 on the
+    # 79k-tri bunny: 256 subgroups x 622 tiles x 8B = 1.27 MB). The
+    # streaming kernel's blocked SMEM specs stay bounded — route there.
+    if not stream and (n // cull_r) * n_tiles * 8 > 768 * 1024:
+        stream = True
     x_spec = pl.BlockSpec((BLOCK_R, NUM_FEATURES), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     out_specs = (
