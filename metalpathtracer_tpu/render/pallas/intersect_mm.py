@@ -534,7 +534,7 @@ def _mm_kernel(lists_ref, counts_ref, smin_ref, x_ref, lb_ref, w_ref,
 # VMEM weight-tile cache slots per kernel block in the streaming kernel;
 # S x (W_ROWS x 4*TILE_P) of W_DTYPE (4 MB at the defaults). Bigger = fewer
 # DMA batches; smaller = less VMEM next to wide ray blocks.
-STREAM_CACHE_SLOTS = int(os.environ.get("MPT_STREAM_SLOTS", "64"))  # chip: bunny300k 32/64 -> 3.52/4.06 Mrays/s (8 MB VMEM at the defaults)
+STREAM_CACHE_SLOTS = int(os.environ.get("MPT_STREAM_SLOTS", "128"))  # chip: bunny300k 32/64/128 -> 3.52/4.06/4.58 Mrays/s (16 MB VMEM cache at 128)
 # unroll factors for the per-tile matmul loops: Mosaic's dynamic-bound
 # loops cost ~0.25us/iteration of issue overhead around the matmul +
 # epilogue, so the tile loops process U consecutive list positions per
