@@ -96,7 +96,7 @@ def main() -> int:
 
     stats(o, d, active, "primary")
     for b in range(1, args.bounces + 1):
-        o, d, light, tp, active, prev_pdf, _, _ = _bounce_step(
+        o, d, light, tp, active, prev_pdf, _, _, _ = _bounce_step(
             scene, o, d, light, tp, active, prev_pdf,
             pixel, sample, jnp.full((n,), b - 1, jnp.int32), seed, cfg,
         )

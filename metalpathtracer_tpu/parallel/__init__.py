@@ -4,8 +4,10 @@ from metalpathtracer_tpu.parallel.sharding import (
     make_mesh,
     make_mesh_2d,
     render_image_sample_sharded,
+    render_image_sample_sharded_wavefront,
     render_image_sharded,
     render_image_sharded_2d,
+    render_image_sharded_2d_wavefront,
     render_image_wavefront_sharded,
 )
 
@@ -16,6 +18,8 @@ __all__ = [
     "make_mesh_2d",
     "render_image_sharded",
     "render_image_sample_sharded",
+    "render_image_sample_sharded_wavefront",
     "render_image_sharded_2d",
+    "render_image_sharded_2d_wavefront",
     "render_image_wavefront_sharded",
 ]

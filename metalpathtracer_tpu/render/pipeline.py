@@ -125,15 +125,17 @@ def render_image(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "spp", "cfg", "pool_size")
+    jax.jit,
+    static_argnames=("width", "height", "spp", "cfg", "pool_size"),
 )
 def _render_wavefront_jit(scene, camera, width, height, spp, seed, cfg, pool_size):
     from metalpathtracer_tpu.render.integrator import trace_wavefront
 
-    fb, rays = trace_wavefront(
-        scene, camera, width, height, spp, seed, cfg, pool_size
+    fb, rays, stats = trace_wavefront(
+        scene, camera, width, height, spp, seed, cfg, pool_size,
+        return_stats=True,
     )
-    return fb.reshape(height, width, 3), rays
+    return fb.reshape(height, width, 3), rays, stats
 
 
 def render_image_wavefront(
@@ -145,19 +147,26 @@ def render_image_wavefront(
     seed: int = 0,
     cfg: RenderConfig = DEFAULT_CONFIG,
     pool_size: int | None = None,
+    return_stats: bool = False,
 ):
     """Render via the persistent-wavefront integrator (lane regeneration —
     see `integrator.trace_wavefront`). Same estimate as `render_image`;
     much faster on open scenes where most paths terminate early. All spp are
-    processed in one device dispatch with bounded (pool-sized) live state."""
+    processed in one device dispatch with bounded (pool-sized) live state.
+
+    With `return_stats` a third dict is returned (integrator telemetry:
+    `shadow_rays` — NEE occlusion probes included in rays_traced, reported
+    apart so throughput tables can label them; `mxu_tile_passes`)."""
     if spp <= 0:
         raise ValueError(f"spp must be positive, got {spp}")
     if pool_size is None:
         pool_size = min(width * height * spp, 1 << 15)  # 2^15 swept optimal (chip: 2^14/15/16 -> 30.1/32.1/27.0 Mrays/s at bpi 1)
-    rgb_sum, rays = _render_wavefront_jit(
+    rgb_sum, rays, stats = _render_wavefront_jit(
         scene, camera, width, height, spp, rng.seed_from_int(seed), cfg,
         int(pool_size),
     )
+    if return_stats:
+        return rgb_sum / spp, int(rays), jax.tree.map(lambda v: v.item(), stats)
     return rgb_sum / spp, int(rays)
 
 

@@ -43,6 +43,23 @@ def test_wavefront_pool_size_invariant(cornell):
     np.testing.assert_allclose(imgs[0], imgs[2], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("bank_k", [2, 4])
+def test_wavefront_bank_k_matches_scan(cornell, bank_k):
+    # ADVICE r3: the pixel-group banking restructure (widened one-hot
+    # accumulator, pend slots riding the sort permutation, (groups, 3K) fb
+    # reshape) must be validated on CPU, not only on chip — the auto picker
+    # selects K=1 at every test geometry, so pin cfg.bank_k explicitly.
+    # n_pix=576, pool=128 -> spb == spp and n_pix//k >= pool for k <= 4.
+    cfg = RenderConfig(max_depth=6, bank_k=bank_k)
+    a, ra = render_image(cornell, CAM, 24, 24, spp=4, seed=11, cfg=cfg)
+    b, rb = render_image_wavefront(
+        cornell, CAM, 24, 24, spp=4, seed=11, cfg=cfg, pool_size=128
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+    assert ra == rb
+
+
 def test_wavefront_with_rr_and_nee(cornell):
     cfg = RenderConfig(max_depth=8, rr_start=2, nee=True)
     a, _ = render_image(cornell, CAM, 16, 16, spp=4, seed=3, cfg=cfg)
