@@ -43,6 +43,40 @@ def is_emissive(material_type, emission_power):
     return (emission_power > 0.0) | (material_type == 2.0)
 
 
+def glossy_pdf(refl_unit, fuzz, w):
+    """Solid-angle pdf of the fuzzy-mirror lobe `normalize(refl + fuzz*s)`,
+    s uniform on the unit sphere (the sampler in `sample_bsdf`).
+
+    Derivation: the sample point x = c + r*s (c = refl_unit, r = fuzz) is
+    uniform on a radius-r sphere at distance 1; a direction w with angle
+    theta to c (sin theta < r) meets that sphere at t+- = cos theta -+
+    sqrt(r^2 - sin^2 theta), and projecting the surface density 1/(4 pi r^2)
+    through the area->solid-angle Jacobian t^2/|cos alpha| at both points
+    gives
+
+        p(w) = (t+^2 + t-^2) / (4 pi r sqrt(r^2 - sin^2 theta))
+             = (cos 2theta + r^2) / (2 pi r sqrt(r^2 - sin^2 theta))
+
+    (numerator always > 1 - r^2 >= 0 inside the cone). Zero outside the
+    cone or when r is outside (0, 1). This is the exact pdf of the
+    UNTRUNCATED lobe; `sample_bsdf`'s below-horizon fallback (rare, grazing
+    only) re-aims those samples at the pure reflection, which this pdf
+    ignores — MIS weights remain a valid partition of unity (they need not
+    be true densities), and the light-route BRDF estimate inherits only the
+    fallback's tiny near-grazing mass. Validated against an MC histogram in
+    tests/test_bsdf.py."""
+    r2 = fuzz * fuzz
+    cos_t = vm.dot(refl_unit, w)
+    sin2 = jnp.maximum(0.0, 1.0 - cos_t * cos_t)
+    disc = r2 - sin2
+    inside = (disc > 0.0) & (cos_t > 0.0) & (fuzz > 0.0) & (fuzz < 1.0)
+    root = jnp.sqrt(jnp.maximum(disc, 1e-20))
+    pdf = (2.0 * cos_t * cos_t - 1.0 + r2) / (
+        2.0 * jnp.pi * jnp.maximum(fuzz, 1e-8) * root
+    )
+    return jnp.where(inside, pdf, 0.0)
+
+
 def sample_bsdf(
     d_in,  # (N, 3) unit incoming direction
     normal,  # (N, 3) unit, already flipped to oppose d_in
