@@ -846,13 +846,27 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         return st, ipack[:, 4].astype(jnp.uint32), fpack[:, 13 + ka:]
 
 
+    # The feed body DEGENERATES into a drain once the queue empties (regen
+    # = bank & (new_item < total) goes false and lanes just die), so the
+    # feed loop and the first drain stage share ONE compiled program: the
+    # cond keeps iterating until live lanes fit the final narrow stage.
+    # Compile-time diet (VERDICT r3 #7): the staged 16x drain shrink held
+    # a separately compiled while-loop (each with the full Pallas kernel +
+    # regen graph) per stage — feed@pool + drain@pool + drain@pool/16 +
+    # drain@min_w = 4 advance graphs at the bench config; merging leaves 2
+    # (this loop at `pool`, the final stage at `min_w`). Full-pool passes
+    # for stragglers between min_w and pool/16 alive lanes are the price —
+    # a handful of advances (a terminated lane can no longer be refilled,
+    # so the 2^14 -> 2^20 collapse in docs/PERFORMANCE.md's pool table
+    # bounds how bad an UNSTAGED tail gets; the narrow final stage still
+    # catches the long solo stragglers).
+    min_w = min(pool, 1024)  # one intersection block; narrower just pads
+    drain_stop = min_w if pool > min_w else 0
+
     def cond(st):
-        # feed phase only: once the work queue is exhausted the drain phase
-        # below takes over with a shrinking pool (a terminated lane can no
-        # longer be refilled, so full-pool passes for a few stragglers are
-        # pure waste — the 2^14 -> 2^20 collapse in docs/PERFORMANCE.md's
-        # pool table was exactly this tail)
-        return st["next_item"] < jnp.uint32(total)
+        return (st["next_item"] < jnp.uint32(total)) | (
+            jnp.sum(st["alive"], dtype=jnp.int32) > drain_stop
+        )
 
     def body(st):
         fb = st.pop("fb")
@@ -914,14 +928,14 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
 
     state = jax.lax.while_loop(cond, body, state)
 
-    # ---- drain phase: queue exhausted; halve the pool stage by stage ----
+    # ---- final drain stage: queue exhausted AND live lanes fit min_w ----
     # (a terminated lane can no longer be refilled; mid-chunk lanes still
     # restart on their remaining samples)
     fb = state.pop("fb")
     state.pop("next_item")
     drain = state
-    # phase-1 banked its finished lanes already; zero their residue so the
-    # stage flushes below stay idempotent
+    # the merged loop banked its finished lanes already (pend scatter);
+    # zero their residue so the flushes below stay idempotent
     dead0 = ~drain["alive"]
     drain["light"] = jnp.where(dead0[:, None], 0.0, drain["light"])
     drain["acc"] = jnp.where(dead0[:, None], 0.0, drain["acc"])
@@ -978,22 +992,14 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         )
         return fb, dict(st, acc=jnp.where(dead[:, None], 0.0, st["acc"]))
 
-    width_now = pool
-    min_w = min(pool, 1024)  # one intersection block; narrower just pads
-    while width_now > min_w:
-        # 16x steps: each stage is a separately compiled while-loop holding
-        # a full advance graph, so the shrink factor directly multiplies
-        # compile size; the drain is a tiny share of render time at
-        # production item counts, so coarse stages cost little wall time
-        nxt = max(width_now // 16, min_w)
-        drain = drain_stage(drain, nxt)
-        fb, drain = flush(fb, drain)
+    if pool > min_w:
+        # merged loop guaranteed alive <= min_w: compact live lanes first
+        # (stable sort), slice to the narrow width, drain the stragglers
         live_first = jnp.argsort(~drain["alive"])  # stable: live lanes first
         drain = {
-            k: (v if v.ndim == 0 else v[live_first][:nxt])
+            k: (v if v.ndim == 0 else v[live_first][:min_w])
             for k, v in drain.items()
         }
-        width_now = nxt
     drain = drain_stage(drain, 0)
     fb, drain = flush(fb, drain)
     # drop the per-lane dummy rows; the remaining (groups, 3*bank_k) rows
