@@ -693,6 +693,155 @@ VMEM_RESIDENT_MAX_TRIS = int(
 )
 
 
+# tile columns processed per in-kernel chunk of the fused cull kernel
+# (bounds the (128, TC) slab-test temporaries to ~1 MB apiece)
+CULL_TILE_CHUNK = 2048
+
+
+def _cull_kernel(rayp_ref, tbt_ref, ghit_ref, gent_ref, lb_ref, *,
+                 t_min: float, n_tiles: int):
+    """Fused ray-vs-tile-AABB slab test with in-VMEM reductions.
+
+    The XLA formulation of this cull (`_cull_hit_mask` + the reduce chain
+    in the list builders) materializes several (n_tiles, N) f32/bool
+    intermediates in HBM per advance — measured 45% of bunny300k device
+    time (docs/PERFORMANCE.md round-4 profile: 4x select_reduce_fusion +
+    the slab-test loop fusions ~250 of 562 ms). This kernel computes the
+    same quantities in one pass, reduced to their compact forms before
+    anything leaves VMEM:
+
+      ghit (N/128, ntp) f32: 1.0 where ANY lane of the 128-lane subgroup
+        enters the tile (the subgroup union the list builders need)
+      gent (N/128, ntp) f32: the subgroup-min entry distance (+inf where
+        no lane enters) — the entry-ordering / best-t-prune key
+      lb   (N, 128)     f32: per-lane partial max entry, folded over tile
+        columns mod 128; the true per-lane bound is the XLA-side max over
+        the 128 columns (a (N,128) reduce — the fold avoids an in-kernel
+        (128,1)->(1,128) relayout, CLAUDE.md reshape pathology)
+
+    Rays ride on sublanes, tiles on lanes; per-lane occlusion bounds are
+    pre-folded into the `occ` column (-inf for inactive lanes, so the
+    `enter <= occ` test also kills them: enter >= t_min > -inf).
+    Inactive/degenerate directions arrive as CLAMPED reciprocals (+-1e30,
+    built by `_cull_pass`) so no inf*0 NaNs can occur — a d==0 axis with
+    the origin outside the slab then correctly CULLS the tile (the XLA
+    version conservatively passes it; both are sound, the kernel's is
+    tighter)."""
+    sub = BLOCK_R // 128
+    ntp = tbt_ref.shape[1]
+    tc = min(CULL_TILE_CHUNK, ntp)
+    for sg in range(sub):
+        r = rayp_ref[sg * 128 : (sg + 1) * 128, :]  # (128, 8)
+        ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
+        ix, iy, iz = r[:, 3:4], r[:, 4:5], r[:, 5:6]
+        occ = r[:, 6:7]
+        lb = jnp.full((128, 128), -_INF)
+        for c0 in range(0, ntp, tc):
+            w = min(tc, ntp - c0)
+            lox = tbt_ref[0:1, c0 : c0 + w]
+            loy = tbt_ref[1:2, c0 : c0 + w]
+            loz = tbt_ref[2:3, c0 : c0 + w]
+            hix = tbt_ref[4:5, c0 : c0 + w]
+            hiy = tbt_ref[5:6, c0 : c0 + w]
+            hiz = tbt_ref[6:7, c0 : c0 + w]
+            t0 = (lox - ox) * ix
+            t1 = (hix - ox) * ix
+            en = jnp.maximum(jnp.minimum(t0, t1), t_min)
+            ex = jnp.maximum(t0, t1)
+            t0 = (loy - oy) * iy
+            t1 = (hiy - oy) * iy
+            en = jnp.maximum(en, jnp.minimum(t0, t1))
+            ex = jnp.minimum(ex, jnp.maximum(t0, t1))
+            t0 = (loz - oz) * iz
+            t1 = (hiz - oz) * iz
+            en = jnp.maximum(en, jnp.minimum(t0, t1))
+            ex = jnp.minimum(ex, jnp.maximum(t0, t1))
+            colm = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) + c0
+            ) < n_tiles  # padding tiles never pass
+            hit = (ex > en) & (en <= occ) & colm
+            ghit_ref[sg : sg + 1, c0 : c0 + w] = jnp.max(
+                jnp.where(hit, 1.0, 0.0), axis=0, keepdims=True
+            )
+            gent_ref[sg : sg + 1, c0 : c0 + w] = jnp.min(
+                jnp.where(hit, en, _INF), axis=0, keepdims=True
+            )
+            lbe = jnp.where(hit, en, -_INF)
+            for k in range(w // 128):  # fold tile columns mod 128
+                lb = jnp.maximum(lb, lbe[:, k * 128 : (k + 1) * 128])
+        lb_ref[sg * 128 : (sg + 1) * 128, :] = lb
+
+
+# tile count at which the fused Pallas cull kernel takes over from the
+# XLA formulation. Small scenes lose to the kernel's fixed dispatch +
+# operand-prep cost (flagship 40 tiles measured 32.8 -> 25.9 Mrays/s on
+# the kernel); big scenes win big (the XLA path materializes (nt, N)
+# intermediates in HBM — bunny300k device self-time 562 -> 456 ms).
+CULL_KERNEL_MIN_TILES = int(os.environ.get("MPT_CULL_KMIN", "512"))
+
+
+def _cull_pass(x, active, tile_box, t_min, occ=None, interpret=False):
+    """Subgroup-granularity cull: returns
+      sgm (N/128, nt) bool — per-128-lane-subgroup union hit mask
+      gent (N/128, nt) f32 — subgroup-min entry (+inf where no hit)
+      lane_bound (N,) f32 — per lane, max entry over ITS passing tiles
+        (-inf when the lane passes none)
+    x: (N, NUM_FEATURES) ray features (N a multiple of BLOCK_R);
+    active: (N,) or (N, 1) float; occ: optional (N,) per-lane bound.
+
+    Routes to the fused Pallas kernel past CULL_KERNEL_MIN_TILES, else the
+    XLA slab test + reduces (identical results — tests pin bit-equality)."""
+    n = x.shape[0]
+    nt = tile_box.shape[0]
+    if nt < CULL_KERNEL_MIN_TILES:
+        o, d = x[:, 6:9], x[:, 0:3]
+        act = active.reshape(n, 1)
+        hit, enter = _cull_hit_mask(o, d, act, tile_box, t_min, occ)
+        ent = jnp.where(hit, enter, _INF)  # (nt, n)
+        lane_bound = jnp.max(jnp.where(hit, enter, -_INF), axis=0)
+        sgm = hit.reshape(nt, n // 128, 128).any(axis=2).T
+        gent = ent.reshape(nt, n // 128, 128).min(axis=2).T
+        return sgm, gent, lane_bound
+    ntp = -(-nt // 128) * 128
+    o, d = x[:, 6:9], x[:, 0:3]
+    inv = jnp.clip(1.0 / d, -1e30, 1e30)  # finite: no inf*0 NaN in-kernel
+    occv = jnp.full((n,), _INF) if occ is None else occ
+    occv = jnp.where(active.reshape(n) > 0.5, occv, -_INF)
+    rayp = jnp.concatenate(
+        [o, inv, occv[:, None], jnp.zeros((n, 1), jnp.float32)], axis=1
+    )
+    tbt = jnp.pad(tile_box, ((0, ntp - nt), (0, 0))).T  # (8, ntp)
+    ghit, gent, lb = pl.pallas_call(
+        functools.partial(_cull_kernel, t_min=float(t_min), n_tiles=nt),
+        grid=(n // BLOCK_R,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_R, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ntp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BLOCK_R // 128, ntp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R // 128, ntp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n // 128, ntp), jnp.float32),
+            jax.ShapeDtypeStruct((n // 128, ntp), jnp.float32),
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(rayp, tbt)
+    lane_bound = jnp.max(lb, axis=1)
+    return ghit[:, :nt] > 0.5, gent[:, :nt], lane_bound
+
+
 def _cull_hit_mask(o, d, active, tile_box, t_min, occ=None):
     """Vectorized XLA slab test. Returns (hit (nt, N) bool — can this
     active ray enter this tile's AABB?, enter (nt, N) f32 — the ray's
@@ -735,7 +884,7 @@ def _cull_hit_mask(o, d, active, tile_box, t_min, occ=None):
 
 
 def _cull_tile_lists(x, active, tile_box, t_min, occ=None,
-                     block_r: int = 256):
+                     block_r: int = 256, interpret: bool = False):
     """Per ray-block ENTRY-ORDERED passing-tile lists for the resident
     kernel. Returns:
       lists (nb, nt) int32: passing tiles first, nearest-entry first
@@ -746,16 +895,17 @@ def _cull_tile_lists(x, active, tile_box, t_min, occ=None,
       lane_bound (n,) f32: per lane, max entry over ITS passing tiles
         (-inf when the lane passes none)
     """
-    o, d = x[:, 6:9], x[:, 0:3]
-    n = o.shape[0]
+    n = x.shape[0]
     nb = n // block_r
     nt = tile_box.shape[0]
-    hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min, occ)
-    ent = jnp.where(hit, enter, _INF)  # (nt, n)
-    lane_bound = jnp.max(jnp.where(hit, enter, -_INF), axis=0)  # (n,)
-    gent = ent.reshape(nt, nb, block_r).min(axis=2).T  # (nb, nt)
-    counts = hit.reshape(nt, nb, block_r).any(axis=2).T.sum(axis=1)
-    counts = counts.astype(jnp.int32)
+    sgm, gent128, lane_bound = _cull_pass(
+        x, active, tile_box, t_min, occ, interpret
+    )
+    g = block_r // 128
+    gent = gent128.reshape(nb, g, nt).min(axis=1)  # (nb, nt)
+    counts = (
+        sgm.reshape(nb, g, nt).any(axis=1).sum(axis=1).astype(jnp.int32)
+    )
     # ONE two-operand sort returns the sorted entries AND the permutation:
     # the argsort + take_along_axis formulation paid ~5 ns/element of
     # scalar-gather tax for the take (5.2 ms/render per call site in the
@@ -768,7 +918,8 @@ def _cull_tile_lists(x, active, tile_box, t_min, occ=None,
     return lists, counts, smin, lane_bound
 
 
-def _cull_stream_lists(x, active, tile_box, t_min, occ=None):
+def _cull_stream_lists(x, active, tile_box, t_min, occ=None,
+                       interpret: bool = False):
     """Streaming-kernel cull: ENTRY-ORDERED per-CULL_R-subgroup slot lists
     over the per-BLOCK_R union DMA list, plus the best-t early-exit tables.
 
@@ -794,18 +945,18 @@ def _cull_stream_lists(x, active, tile_box, t_min, occ=None):
       counts (n_sub,) int32: per-subgroup passing-tile counts (telemetry
         upper bound; early exit may test fewer)
     """
-    o, d = x[:, 6:9], x[:, 0:3]
-    n = o.shape[0]
+    n = x.shape[0]
     nt = tile_box.shape[0]
     n_sub = n // CULL_R_STREAM
     nb = n // BLOCK_R
     sub = BLOCK_R // CULL_R_STREAM
     S = STREAM_CACHE_SLOTS
-    hit, enter = _cull_hit_mask(o, d, active, tile_box, t_min, occ)
-    ent = jnp.where(hit, enter, _INF)  # (nt, n)
-    lane_bound = jnp.max(jnp.where(hit, enter, -_INF), axis=0)  # (n,)
-    sgm = hit.reshape(nt, n_sub, CULL_R_STREAM).any(axis=2).T  # (n_sub, nt)
-    bent = ent.reshape(nt, nb, BLOCK_R).min(axis=2).T  # (nb, nt) block entry
+    sgm128, gent128, lane_bound = _cull_pass(
+        x, active, tile_box, t_min, occ, interpret
+    )
+    g = CULL_R_STREAM // 128
+    sgm = sgm128.reshape(n_sub, g, nt).any(axis=1)  # (n_sub, nt)
+    bent = gent128.reshape(nb, (BLOCK_R // 128), nt).min(axis=1)  # (nb, nt)
     ublk = sgm.reshape(nb, sub, nt).any(axis=1)  # (nb, nt)
     ucounts = ublk.sum(axis=1).astype(jnp.int32)
     # union list: passing tiles first, ordered by block entry distance
@@ -891,7 +1042,8 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     # block's rows at a time (large scenes have hundreds of tiles).
     if stream:
         slists, starts, ulists, ucounts, rme, lane_bound, scounts = (
-            _cull_stream_lists(x, active, tile_box, t_min, occ_t)
+            _cull_stream_lists(x, active, tile_box, t_min, occ_t,
+                               interpret=interpret)
         )
         lane_bound = jnp.minimum(lane_bound, occ_t)
         nbat = starts.shape[1] - 1
@@ -933,7 +1085,8 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
         pair_counts = scounts
     else:
         lists, counts, smin, lane_bound = _cull_tile_lists(
-            x, active, tile_box, t_min, occ_t, block_r=cull_r
+            x, active, tile_box, t_min, occ_t, block_r=cull_r,
+            interpret=interpret,
         )
         lane_bound = jnp.minimum(lane_bound, occ_t)
         kernel = functools.partial(_mm_kernel, t_min=t_min,

@@ -163,3 +163,53 @@ def test_b3_hi_lo_split_precision():
     assert err3.max() < 2.0**-14, err3.max()
     assert err1.max() > 2.0**-11  # single-pass bf16 really is that coarse
     assert err3.max() < err1.max() / 30
+
+
+def test_cull_pass_matches_xla_reference(monkeypatch):
+    """The fused Pallas cull kernel must reproduce the XLA slab-test
+    formulation it replaced: subgroup union mask, subgroup-min entry, and
+    per-lane bound (generic rays — no zero direction components, where the
+    kernel's clamped-reciprocal handling is deliberately tighter).
+    CULL_KERNEL_MIN_TILES is pinned to 0 so the KERNEL route runs even at
+    the reference scene's small tile count (production routes it to the
+    XLA path, which is the oracle here)."""
+    from metalpathtracer_tpu.render.pallas import intersect_mm
+    from metalpathtracer_tpu.render.pallas.intersect_mm import (
+        BLOCK_R,
+        T_MIN,
+        _cull_hit_mask,
+        _cull_pass,
+        ray_features,
+    )
+
+    monkeypatch.setattr(intersect_mm, "CULL_KERNEL_MIN_TILES", 0)
+
+    scene = upload_scene(
+        load_scene_xml(os.path.join(REPO, "scenes", "reference.xml"))
+    )
+    n = 2 * BLOCK_R
+    o, d = random_rays(n, seed=7)
+    x = ray_features(o, d)
+    rng = np.random.default_rng(3)
+    active = jnp.asarray((rng.uniform(size=n) > 0.25).astype(np.float32))
+    occ = jnp.asarray(
+        np.where(rng.uniform(size=n) > 0.5, rng.uniform(1.0, 200.0, n),
+                 np.inf).astype(np.float32)
+    )
+    tile_box = scene.mm_tile_box
+    nt = tile_box.shape[0]
+
+    sgm, gent, lane_bound = _cull_pass(
+        x, active, tile_box, T_MIN, occ, interpret=True
+    )
+    hit, enter = _cull_hit_mask(o, d, active, tile_box, T_MIN, occ)
+    hit = np.asarray(hit)
+    enter = np.asarray(enter)
+    ent = np.where(hit, enter, np.inf)  # (nt, n)
+    sgm_ref = hit.reshape(nt, n // 128, 128).any(axis=2).T
+    gent_ref = ent.reshape(nt, n // 128, 128).min(axis=2).T
+    lb_ref = np.where(hit, enter, -np.inf).max(axis=0)
+
+    np.testing.assert_array_equal(np.asarray(sgm), sgm_ref)
+    np.testing.assert_array_equal(np.asarray(gent), gent_ref)
+    np.testing.assert_array_equal(np.asarray(lane_bound), lb_ref)
