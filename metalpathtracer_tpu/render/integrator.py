@@ -115,6 +115,14 @@ class RenderConfig:
     # K=8 number was measured at the smaller pool; K=8 at pool 2^15
     # re-measured 30.0 vs 32.8 for auto(4), so the guard's pick stands.
     bank_k: int = 0
+    # fused-advance Pallas kernel (render/pallas/advance_mm.py): the whole
+    # non-NEE bounce in ONE kernel when the scene is pack-mode resident.
+    # A RenderConfig field (not a module flag) so toggling it retraces —
+    # the jit cache keys on cfg (the ADVICE-r3 env-knob trap). OPT-IN while
+    # the on-chip gate (benchmarks/fused_check.py) and perf are open: the
+    # first chip run measured 17.2 vs 28.7 Mrays/s split and a behavioral
+    # divergence under the wavefront (under investigation).
+    fused: bool = os.environ.get("MPT_FUSED", "0") == "1"
 
 
 DEFAULT_CONFIG = RenderConfig()
@@ -305,6 +313,22 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_pdf,
     occlusion probes apart from full path rays (VERDICT r3 weak #8 —
     shadow rays are cheap tile-pruned queries, not flagship-equivalent
     work)."""
+    # Fused-advance fast path (render/pallas/advance_mm.py): the whole
+    # bounce — intersect + refine + material + shade + RNG — runs as ONE
+    # Pallas kernel for non-NEE pack-mode resident scenes, replacing the
+    # ~80-op XLA loop body whose per-op issue overhead was the dominant
+    # non-kernel cost (VERDICT r3 missing #3; the reference's one-dispatch
+    # frame, Renderer.cpp:269-310). Bit-identical to the split path below
+    # in CPU interpret mode (tests/test_advance_mm.py), so routing is a
+    # pure static perf decision.
+    from metalpathtracer_tpu.render.pallas import advance_mm
+
+    if advance_mm.fused_eligible(scene, cfg, o.shape[0]):
+        return advance_mm.fused_bounce_step(
+            scene, o, d, light, throughput, active,
+            pixel_id, sample_id, bounce, seed, cfg,
+        )
+
     rays_counted = jnp.sum(active, dtype=jnp.int32)
     shadow_counted = jnp.zeros((), jnp.int32)
 
