@@ -185,11 +185,11 @@ def _mm_advance_kernel(
         cnt = counts_ref[g]
 
         def cond(carry, g=g, cnt=cnt):
-            j, thr, _, _ = carry
+            j, thr = carry[0], carry[1]
             return (j < cnt) & (smin_ref[g, j] <= thr)
 
         def tile_body(carry, xs=xs, g=g, lbr=lbr, cnt=cnt):
-            j, _, best_t, best_r48 = carry
+            j, _, best_t, best_pos, best_col = carry
             for k in range(u_res):  # consecutive, clamped (dups idempotent)
                 jj = jnp.minimum(j + k, cnt - 1) if u_res > 1 else j
                 i = lists_ref[g, jj]
@@ -218,36 +218,63 @@ def _mm_advance_kernel(
                     axis=0, keepdims=True,
                 )
                 better = tbt < best_t  # (1, 128)
-                # f32 select + cast, NOT a direct bf16 select: a 16-bit
-                # select on the 32-bit compare's i1 mask needs an
-                # (8,128)->(16,128) mask relayout Mosaic rejects
-                # ("Invalid relayout ... replicated in destination")
-                oh = jnp.where(col_s == idxs, 1.0, 0.0).astype(
-                    jnp.bfloat16
-                )  # (tile_p, 128); no-candidate lanes have idxs=BIG -> 0
-                # ONE (48, tile_p) @ (tile_p, 128) matmul extracts all three
-                # split pieces [rh; rm; rl] of the winner's refine row; the
-                # exact f32 piece-sum happens ONCE after the loop (selection
-                # commutes with the fixed row partition, so this is
-                # bit-identical to summing per tile — and 2 fewer matmul
-                # issues per tile than three 16-row passes)
-                r48 = jnp.dot(
-                    ref3_ref[i], oh, preferred_element_type=jnp.float32
-                )  # (48, 128)
-                best_r48 = jnp.where(better, r48, best_r48)
+                # LAZY refine: the hot loop carries only the winner's LIST
+                # POSITION and column (3 cheap (1,128) selects); the
+                # one-hot refine-row extraction runs in a second, short
+                # loop below that walks only to the maximum winner
+                # position — for entry-ordered lists winners concentrate
+                # at the first positions, so the expensive per-tile
+                # extraction (one-hot build + (48,tp) matmul + wide
+                # select) drops out of almost every hot-loop trip
                 best_t = jnp.where(better, tbt, best_t)
+                best_pos = jnp.where(better, jj, best_pos)
+                best_col = jnp.where(better, idxs, best_col)
             thr = jnp.max(jnp.minimum(best_t, lbr))
-            return (j + u_res, thr, best_t, best_r48)
+            return (j + u_res, thr, best_t, best_pos, best_col)
 
         init = (
             jnp.int32(0), jnp.max(lbr),
             jnp.full((1, 128), _INF),
-            jnp.zeros((48, 128), jnp.float32),
+            jnp.full((1, 128), -1, jnp.int32),
+            jnp.zeros((1, 128), jnp.int32),
         )
-        _, _, best_t, best_r48 = jax.lax.while_loop(cond, tile_body, init)
-        row16 = (
-            best_r48[0:16, :] + best_r48[16:32, :] + best_r48[32:48, :]
-        )  # exact 3-way split reconstruction (see build_fused_tables)
+        _, _, best_t, best_pos, best_col = jax.lax.while_loop(
+            cond, tile_body, init
+        )
+
+        # ---- refine extraction: walk positions [0, max winner pos] ----
+        jend = jnp.max(best_pos) + 1  # 0 when no lane hit
+
+        def ext_cond(carry):
+            return carry[0] < jend
+
+        def ext_body(carry, g=g, cnt=cnt):
+            j, r48 = carry
+            for k in range(u_res):
+                pos = j + k
+                jj = jnp.minimum(pos, cnt - 1)  # clamped LIST read only
+                i = lists_ref[g, jj]
+                # gate on the TRUE position, so clamped duplicate reads
+                # can never double-count a lane's winner row
+                sel = jnp.where(best_pos == pos, best_col, jnp.int32(-1))
+                oh = jnp.where(col_s == sel, 1.0, 0.0).astype(
+                    jnp.bfloat16
+                )  # (tile_p, 128); exactly one position matches per lane
+                # ONE (48,tp)@(tp,128) matmul extracts all three split
+                # pieces [rh; rm; rl]; each lane's column accumulates from
+                # exactly one tile, so += is exact (adds exact zeros
+                # elsewhere) and the piece-sum below reconstructs f32
+                # bit-exactly (see build_fused_tables)
+                r48 = r48 + jnp.dot(
+                    ref3_ref[i], oh, preferred_element_type=jnp.float32
+                )
+            return (j + u_res, r48)
+
+        _, r48 = jax.lax.while_loop(
+            ext_cond, ext_body,
+            (jnp.int32(0), jnp.zeros((48, 128), jnp.float32)),
+        )
+        row16 = r48[0:16, :] + r48[16:32, :] + r48[32:48, :]
         for r in range(16):
             hit_ref[r * 8 + sg : r * 8 + sg + 1, :] = row16[r : r + 1, :]
         hit_ref[16 * 8 + sg : 16 * 8 + sg + 1, :] = best_t
