@@ -49,6 +49,16 @@ _ENV_BANK_K = int(os.environ.get("MPT_BANK_K", "8"))
 _ENV_BANK_K_EXPLICIT = "MPT_BANK_K" in os.environ
 _ENV_SORT_EVERY = int(os.environ.get("MPT_SORT_EVERY", "4"))
 _ENV_DRAIN_SORT = os.environ.get("MPT_DRAIN_SORT", "")
+# capped fb scatter: scatter only the first pool/SCATTER_CAP_DIV rows of
+# the (pend-first) sorted pool, falling back to the full-pool scatter via
+# a scalar lax.cond when more lanes hold pending banks than the prefix
+# holds (short-path scenes: every lane banks every window). 0 disables.
+# The fb scatter costs ~40-85 ns per ROW regardless of masking (CLAUDE.md,
+# benchmarks/scatter_probe.py) and ~85% of scattered rows are dummies at
+# steady state (a lane banks once per per_item advances ~ 1 per window),
+# so compacting real banks into a prefix is worth ~19% -> ~5% of device
+# time on the flagship profile (docs/PERFORMANCE.md round 4).
+_ENV_SCATTER_CAP_DIV = int(os.environ.get("MPT_SCATTER_CAP_DIV", "4"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -659,6 +669,13 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     # currently occupying its lane.
     sort_every = min(spb, _ENV_SORT_EVERY)
     flush_every = max(1, per_item // sort_every) * sort_every
+    # capped fb scatter (see _ENV_SCATTER_CAP_DIV): sound only when every
+    # feed window ends with a pend-first sort, i.e. when lane sorting is
+    # on at all — unsorted pools leave real banks anywhere in the pool.
+    scatter_cap = 0
+    if (_ENV_SCATTER_CAP_DIV > 0 and cfg.sort_lanes
+            and scene.num_tris > 0 and pool >= 4 * _ENV_SCATTER_CAP_DIV):
+        scatter_cap = pool // _ENV_SCATTER_CAP_DIV
 
     def advance(st):
         """bounces_per_iter bounce steps + per-sample bookkeeping (shared by
@@ -842,6 +859,18 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 | (morton << 3)
                 | octant
             )
+        if pend_rgb is not None and scatter_cap:
+            # pend-first major bit: lanes holding an unscattered bank sort
+            # to the pool front, so the body's fb scatter can cover every
+            # real bank with a fixed prefix (see the capped-scatter note at
+            # the body). Costs the coherence key its LSB (the least
+            # significant ordering bit). Pend-holders just regenerated on
+            # CONSECUTIVE items — adjacent pixel groups — so the cluster
+            # they form is itself spatially coherent.
+            haspend = pend_idx < jnp.uint32(groups)
+            key = (key >> 1) | jnp.where(
+                haspend, jnp.uint32(0), jnp.uint32(1) << 31
+            )
         perm = jnp.argsort(key)
         ka = 3 * bank_k  # acc / pend_rgb column width
         fparts = [st["o"], st["d"], st["acc"], st["light"], st["tp"],
@@ -945,9 +974,35 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         # distinct: banked lanes hit their pixel-group row, everyone else
         # their private dummy row — no OOB, no duplicate-under-
         # unique_indices UB (VERDICT r3 weak #4 closed).
-        fb = fb.at[pend_idx].add(
-            pend_rgb, mode="promise_in_bounds", unique_indices=unique_bank
-        )
+        if scatter_cap:
+            # The window's final maybe_sort ordered pend-holders first
+            # (pend-first major bit), so when <= scatter_cap lanes hold a
+            # real bank the prefix covers them all and the ~40-85 ns/row
+            # scatter tax shrinks by the divisor; rows past the prefix are
+            # all dummies (zero rgb) whose omission changes nothing. The
+            # scalar-pred cond is REAL control flow at the XLA level (one
+            # branch executes); short-path scenes where every lane banks
+            # each window take the full-scatter branch and lose nothing.
+            n_pend = jnp.sum(
+                (pend_idx < jnp.uint32(groups)).astype(jnp.int32)
+            )
+            fb = jax.lax.cond(
+                n_pend <= scatter_cap,
+                lambda f: f.at[pend_idx[:scatter_cap]].add(
+                    pend_rgb[:scatter_cap], mode="promise_in_bounds",
+                    unique_indices=unique_bank,
+                ),
+                lambda f: f.at[pend_idx].add(
+                    pend_rgb, mode="promise_in_bounds",
+                    unique_indices=unique_bank,
+                ),
+                fb,
+            )
+        else:
+            fb = fb.at[pend_idx].add(
+                pend_rgb, mode="promise_in_bounds",
+                unique_indices=unique_bank
+            )
         return dict(st, fb=fb, next_item=next_item)
 
     state = jax.lax.while_loop(cond, body, state)
