@@ -245,12 +245,19 @@ def _mm_advance_kernel(
         # ---- refine extraction: walk positions [0, max winner pos] ----
         jend = jnp.max(best_pos) + 1  # 0 when no lane hit
 
+        # extraction walks with its OWN (short) unroll: winners of entry-
+        # ordered lists sit at positions 0-2, and a u_res(=6)-wide chunk
+        # would pay 6 one-hot builds + (48,tp) matmuls when 1-2 suffice —
+        # the chunk size only trades loop-issue overhead (~0.25us/iter)
+        # against wasted clamped positions, and at jend~2 the waste wins.
+        u_ext = 2
+
         def ext_cond(carry):
             return carry[0] < jend
 
         def ext_body(carry, g=g, cnt=cnt):
             j, r48 = carry
-            for k in range(u_res):
+            for k in range(u_ext):
                 pos = j + k
                 jj = jnp.minimum(pos, cnt - 1)  # clamped LIST read only
                 i = lists_ref[g, jj]
@@ -268,7 +275,7 @@ def _mm_advance_kernel(
                 r48 = r48 + jnp.dot(
                     ref3_ref[i], oh, preferred_element_type=jnp.float32
                 )
-            return (j + u_res, r48)
+            return (j + u_ext, r48)
 
         _, r48 = jax.lax.while_loop(
             ext_cond, ext_body,
