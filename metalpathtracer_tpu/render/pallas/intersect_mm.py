@@ -622,16 +622,37 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
         # Starts/waits pair exactly (same trip count) — the round-2 lesson
         # about guarded DMA in loop bodies (both paths execute) is moot
         # because nothing here is guarded.
-        def start_one(s, _):
-            dma_for(base + s, s).start()
+        #
+        # The loops are U-chunked like the tile loops: a dynamic-bound
+        # fori iteration carries ~0.25-0.5 us of scalar issue overhead,
+        # and at union ~100 tiles per block the un-chunked start loop cost
+        # MORE than the 13 MB transfer it was issuing (the profiled
+        # bunny300k kernel spends over half its time outside matmuls).
+        # Chunk-tail iterations CLAMP to the last real (position, slot)
+        # pair: the tail issues up to DU-1 EXTRA copies of the same
+        # src->dst (byte-identical, so the write races are benign) and
+        # the wait loop replays the same clamp, so the slot's semaphore
+        # sees exactly as many waits as starts — never a mismatch, just
+        # up to DU-1 tiles of wasted bytes (~1%) per batch.
+        DU = 8
+
+        def start_u(c, _):
+            for k in range(DU):
+                s = c * DU + k
+                sp = jnp.minimum(s, m - 1)
+                dma_for(base + sp, sp).start()
             return 0
 
-        def wait_one(s, _):
-            dma_for(base + s, s).wait()
+        def wait_u(c, _):
+            for k in range(DU):
+                s = c * DU + k
+                sp = jnp.minimum(s, m - 1)
+                dma_for(base + sp, sp).wait()
             return 0
 
-        jax.lax.fori_loop(0, m, start_one, 0)
-        jax.lax.fori_loop(0, m, wait_one, 0)
+        nd = (m + DU - 1) // DU  # 0 when settled (m == 0)
+        jax.lax.fori_loop(0, nd, start_u, 0)
+        jax.lax.fori_loop(0, nd, wait_u, 0)
 
         for sg in range(sub):  # static unroll over subgroups
             xs = xp[sg * CULL_R_STREAM : (sg + 1) * CULL_R_STREAM, :]
