@@ -154,30 +154,81 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "Mrays/sec/chip (reference scene, 720p, 32 bounces, "
-                    "steady-state)"
-                ),
-                "value": round(best, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(best / BASELINE_MRAYS, 4),
-                "useful_flop_mfu": round(best_mfu, 5),
-                "single_shot_mrays": round(best_single, 3),
-                # BASELINE.md reported-metrics row: samples/sec scaled to a
-                # 1080p frame. samples/s = pixels*spp / seconds_per_render;
-                # seconds_per_render = rays_per_render / (best Mrays/s).
-                "spp_per_sec_1080p": round(
-                    (width * height * spp) * (best * 1e6) / (rays // PIPE)
-                    / 2073600.0,
-                    3,
-                ),
-                "compile_s": round(compile_s, 1),
-            }
-        )
-    )
+    out = {
+        "metric": (
+            "Mrays/sec/chip (reference scene, 720p, 32 bounces, "
+            "steady-state)"
+        ),
+        "value": round(best, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(best / BASELINE_MRAYS, 4),
+        "useful_flop_mfu": round(best_mfu, 5),
+        "single_shot_mrays": round(best_single, 3),
+        # BASELINE.md reported-metrics row: samples/sec scaled to a
+        # 1080p frame. samples/s = pixels*spp / seconds_per_render;
+        # seconds_per_render = rays_per_render / (best Mrays/s).
+        "spp_per_sec_1080p": round(
+            (width * height * spp) * (best * 1e6) / (rays // PIPE)
+            / 2073600.0,
+            3,
+        ),
+        "compile_s": round(compile_s, 1),
+    }
+
+    # Large-scene legs (VERDICT r4 #5): the streaming/large-resident paths
+    # get a DRIVER-RECORDED number each round, so a regression there fails
+    # loudly instead of living only in docs prose. Skippable for quick
+    # sweeps (MPT_BENCH_SCENES=0); timed at 512^2 spp 2 with one warmup +
+    # 2 pipelined passes (these scenes are minutes-per-compile, so the leg
+    # budget stays small next to the flagship's).
+    if os.environ.get("MPT_BENCH_SCENES", "1") == "1":
+        from metalpathtracer_tpu.scene import presets
+
+        # settings match benchmarks/large_scene.py's defaults (512^2,
+        # spp 2, depth 8, same reference camera), so these numbers are
+        # comparable with every prior round's docs/PERFORMANCE.md figures
+        lcfg = RenderConfig(max_depth=8)
+
+        @functools.partial(jax.jit, static_argnames=("spp", "pool"))
+        def render_large(scene, camera, seed, spp, pool):
+            return trace_wavefront(
+                scene, camera, 512, 512, spp, seed, lcfg, pool
+            )
+
+        for name, preset in (
+            ("bunny70k_mrays", presets.reference_bunny70k),
+            ("bunny300k_mrays", presets.reference_bunny300k),
+        ):
+            try:
+                t0 = time.perf_counter()
+                sc = upload_scene(preset())
+                fb, lrays = render_large(sc, camera, rng.seed_from_int(0),
+                                         2, pool)
+                int(lrays)
+                jax.block_until_ready(fb)
+                warm_s = time.perf_counter() - t0
+                lbest = 0.0
+                for rep in range(2):
+                    t0 = time.perf_counter()
+                    outs = [
+                        render_large(sc, camera,
+                                     rng.seed_from_int(rep * 2 + 1 + i),
+                                     2, pool)
+                        for i in range(2)
+                    ]
+                    lr = sum(int(r) for _, r in outs)
+                    for lfb, _ in outs:
+                        jax.block_until_ready(lfb)
+                    dt = (time.perf_counter() - t0) / 2
+                    lbest = max(lbest, lr / 2 / dt / 1e6)
+                out[name] = round(lbest, 3)
+                print(f"{name}: {lbest:.2f} Mrays/s (warmup {warm_s:.0f}s)",
+                      file=sys.stderr)
+            except Exception as e:  # a failed leg must not kill the headline
+                print(f"{name} leg failed: {e!r}", file=sys.stderr)
+                out[name] = None
+
+    print(json.dumps(out))
     return 0
 
 

@@ -59,6 +59,9 @@ _ENV_DRAIN_SORT = os.environ.get("MPT_DRAIN_SORT", "")
 # so compacting real banks into a prefix is worth ~19% -> ~5% of device
 # time on the flagship profile (docs/PERFORMANCE.md round 4).
 _ENV_SCATTER_CAP_DIV = int(os.environ.get("MPT_SCATTER_CAP_DIV", "4"))
+# completion-wave desync (staggered first-generation items; see
+# trace_wavefront). Import-time read like every other sweep knob.
+_ENV_STAGGER = os.environ.get("MPT_STAGGER", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -605,17 +608,97 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     total = groups * chunks  # work items = (pixel-group, sample-chunk)
     unique_bank = spb == spp  # item <-> fb row is 1:1 -> no add collisions
 
-    def ray_for(item, schunk):
+    # Completion-wave desync (VERDICT r4 #3): with a full-size first
+    # generation every lane's item finishes after ~the same number of
+    # advances, so banks arrive in SYNCHRONIZED WAVES and the capped fb
+    # scatter's narrow branch never fires on short renders (round-4
+    # profile: fb scatter 17.5% of device time, "wave-bound"). Staggering
+    # the FIRST generation's item lengths decorrelates every later
+    # generation too (completion phases inherit the offsets plus path-
+    # length noise). Mechanism: first-gen item j covers only sample-chunks
+    # [0, cut(j)) with cut(j) cycling over [1, per_item-1]; a COMPENSATING
+    # queue entry `total + j` (queued at the end) covers [cut(j),
+    # per_item), so every (pixel, sample) is traced exactly once and the
+    # estimate is unchanged up to fb addition order. Compensating items
+    # bank to a private extra fb row (groups + j) — the two partial banks
+    # of a group can land in the same flush window, and distinct rows keep
+    # the scatter's unique-indices contract; the extra rows fold back in
+    # one add at the end. Requires chunks == 1 (so item % groups stays the
+    # group id for compensating ids) and groups >= pool (first-gen item j
+    # targets group j).
+    # capped fb scatter (see _ENV_SCATTER_CAP_DIV): sound only when every
+    # feed window ends with a pend-first sort, i.e. when lane sorting is
+    # on at all — unsorted pools leave real banks anywhere in the pool.
+    scatter_cap = 0
+    if (_ENV_SCATTER_CAP_DIV > 0 and cfg.sort_lanes
+            and scene.num_tris > 0 and pool >= 4 * _ENV_SCATTER_CAP_DIV):
+        scatter_cap = pool // _ENV_SCATTER_CAP_DIV
+    stagger = (
+        _ENV_STAGGER
+        and scatter_cap > 0
+        and unique_bank and chunks == 1 and per_item >= 2
+        and groups >= pool
+    )
+    total_q = total + (pool if stagger else 0)  # queue length incl. comps
+    fb_rows = groups + (pool if stagger else 0)
+
+    def cut_of(j):
+        """First-generation split point of item j (uint32 array)."""
+        return (j % jnp.uint32(per_item - 1)) + jnp.uint32(1)
+
+    def start_of(item):
+        """First schunk of `item` (0 except compensating items)."""
+        if not stagger:
+            return jnp.zeros_like(item)
+        comp = item >= jnp.uint32(total)
+        j = jnp.where(comp, item - jnp.uint32(total), 0)
+        return jnp.where(comp, cut_of(j), jnp.uint32(0))
+
+    def end_of(item):
+        """One past the last schunk of `item`."""
+        if not stagger:
+            return jnp.full_like(item, per_item)
+        return jnp.where(
+            item < jnp.uint32(pool), cut_of(item), jnp.uint32(per_item)
+        )
+
+    def fb_row_of(item):
+        """Framebuffer row an item banks to (compensating items use the
+        private extra rows so indices stay pairwise distinct)."""
+        if not stagger:
+            return item % jnp.uint32(groups)
+        return jnp.where(
+            item < jnp.uint32(total),
+            item % jnp.uint32(groups),
+            jnp.uint32(groups) + (item - jnp.uint32(total)),
+        )
+
+    def pix_samp_of(item, schunk):
+        """(pixel, sample) of a work unit. Compensating items alias their
+        base item's mapping exactly (chunks == 1 when stagger is on) —
+        BOTH the raygen and the in-flight RNG streams must use this, or
+        the two halves of a split item draw from different sample
+        streams (the round-5 stagger bug: advance() had its own inline
+        copy without the compensating-item fold)."""
+        g_item = (
+            jnp.where(item >= jnp.uint32(total), item - jnp.uint32(total),
+                      item)
+            if stagger else item
+        )
         pixel = (
-            (item % jnp.uint32(groups)) * jnp.uint32(bank_k)
+            (g_item % jnp.uint32(groups)) * jnp.uint32(bank_k)
             + schunk // jnp.uint32(spb)
             + jnp.uint32(pixel_offset)
         )
         sample = (
-            (item // jnp.uint32(groups)) * jnp.uint32(spb)
+            (g_item // jnp.uint32(groups)) * jnp.uint32(spb)
             + (schunk % jnp.uint32(spb))
             + jnp.asarray(sample_offset, jnp.uint32)
         )
+        return pixel, sample
+
+    def ray_for(item, schunk):
+        pixel, sample = pix_samp_of(item, schunk)
         o, d = generate_rays(camera, width, height, pixel, sample, seed)
         return pixel, sample, o, d
 
@@ -632,21 +715,32 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         light=jnp.zeros((pool, 3), jnp.float32),
         tp=jnp.ones((pool, 3), jnp.float32),
         prev_pdf=jnp.zeros((pool,), jnp.float32),
-        alive=item0 < total,
-        # `groups` real rows + `pool` per-lane DUMMY rows: lanes with no
-        # pending bank scatter zeros into their own dummy row, so every
-        # scatter's index vector is genuinely unique AND in-bounds — the
-        # legitimate unique_indices fast path, replacing the round-2/3
-        # shared-OOB-index formulation XLA documents as UB (ADVICE r2 /
-        # VERDICT r3 weak #4). Cost-neutral by construction: the scatter
-        # pays ~40-52 ns per ROW whether the row is dropped, dummy, or
-        # real (benchmarks/scatter_probe.py), and the dummy region is
-        # sliced off once at the end.
-        fb=jnp.zeros((groups + pool, 3 * bank_k), jnp.float32),
-        next_item=jnp.uint32(min(pool, total)),
+        alive=item0 < total_q,
+        # `fb_rows` rows (`groups`, plus `pool` private compensating-item
+        # rows under stagger); lanes with no pending bank carry the UNIQUE
+        # out-of-bounds index `fb_rows + lane` and scatter in mode="drop":
+        # indices stay pairwise distinct (no duplicate-under-unique_indices
+        # UB — the round-2/3 formulation shared ONE OOB index, VERDICT r3
+        # weak #4), while dropped rows never reach the write stage. The
+        # round-4 in-bounds per-lane DUMMY-row variant was NOT cost-free:
+        # really writing `pool` dummy rows per window measured 32.6 -> 28.6
+        # Mrays/s on chip (round-5 regression bisect, docs/PERFORMANCE.md).
+        fb=jnp.zeros((fb_rows, 3 * bank_k), jnp.float32),
+        next_item=jnp.uint32(min(pool, total_q)),
         rays=jnp.zeros((), jnp.int32),
         shadow=jnp.zeros((), jnp.int32),
         mxu_tile_passes=jnp.zeros((), jnp.float32),
+        # pending-bank slots (scattered once per flush window). In state
+        # rather than re-initialized per feed body because STAGGERED items
+        # can be shorter than the flush window: a lane whose slot is full
+        # when a second bank arrives WAITS (pend_wait, lane idle) and
+        # drains into the freshly-emptied slot at the window boundary —
+        # without this, chained short compensating items overwrote the
+        # first pending bank (radiance moved between pixels; caught by
+        # test_wavefront_sharded_streaming_kernel's bit-equality).
+        pend_idx=jnp.uint32(fb_rows) + jnp.arange(pool, dtype=jnp.uint32),
+        pend_rgb=jnp.zeros((pool, 3 * bank_k), jnp.float32),
+        pend_wait=jnp.zeros((pool,), bool),
     )
 
     # The fb scatter-add costs ~52 ns per pool ROW per call on this backend
@@ -669,13 +763,6 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     # currently occupying its lane.
     sort_every = min(spb, _ENV_SORT_EVERY)
     flush_every = max(1, per_item // sort_every) * sort_every
-    # capped fb scatter (see _ENV_SCATTER_CAP_DIV): sound only when every
-    # feed window ends with a pend-first sort, i.e. when lane sorting is
-    # on at all — unsorted pools leave real banks anywhere in the pool.
-    scatter_cap = 0
-    if (_ENV_SCATTER_CAP_DIV > 0 and cfg.sort_lanes
-            and scene.num_tris > 0 and pool >= 4 * _ENV_SCATTER_CAP_DIV):
-        scatter_cap = pool // _ENV_SCATTER_CAP_DIV
 
     def advance(st):
         """bounces_per_iter bounce steps + per-sample bookkeeping (shared by
@@ -686,16 +773,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         prev_pdf = st["prev_pdf"]
         bounce = st["bounce"]
         item, schunk = st["item"], st["schunk"]
-        pixel = (
-            (item % jnp.uint32(groups)) * jnp.uint32(bank_k)
-            + schunk // jnp.uint32(spb)
-            + jnp.uint32(pixel_offset)
-        )
-        sample = (
-            (item // jnp.uint32(groups)) * jnp.uint32(spb)
-            + (schunk % jnp.uint32(spb))
-            + jnp.asarray(sample_offset, jnp.uint32)
-        )
+        pixel, sample = pix_samp_of(item, schunk)
         still = alive
         counted = jnp.zeros((), jnp.int32)
         shadow = jnp.zeros((), jnp.int32)
@@ -738,7 +816,8 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         light = jnp.where(path_done[:, None], 0.0, light)
 
         schunk_next = schunk + path_done.astype(jnp.uint32)
-        more = path_done & (schunk_next < per_item)  # same item, next path
+        # same item, next path (staggered items end before per_item)
+        more = path_done & (schunk_next < end_of(item))
         bank = path_done & ~more  # item finished -> bank to framebuffer
 
         st = dict(
@@ -766,7 +845,8 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             alive=st["alive"] | restart,
         )
 
-    def maybe_sort(st, pend_idx=None, pend_rgb=None):
+    def maybe_sort(st, pend_idx=None, pend_rgb=None, pend_wait=None,
+                   pend_first=True):
         # origin-locality sort: tile lists are per CULL_R-lane subgroup,
         # so grouping lanes by origin Morton cell makes BOUNCED
         # subgroups cull like coherent primaries (the per-block-ANY
@@ -866,11 +946,15 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             # the body). Costs the coherence key its LSB (the least
             # significant ordering bit). Pend-holders just regenerated on
             # CONSECUTIVE items — adjacent pixel groups — so the cluster
-            # they form is itself spatially coherent.
-            haspend = pend_idx < jnp.uint32(groups)
-            key = (key >> 1) | jnp.where(
+            # they form is itself spatially coherent. Only the WINDOW-FINAL
+            # sort feeds the capped scatter, so intermediate sorts keep the
+            # full coherence key (ADVICE r4 #1): `pend_first` is a traced
+            # flag — one wide select, no extra compiled sort_block variant.
+            haspend = pend_idx < jnp.uint32(fb_rows)
+            key_pf = (key >> 1) | jnp.where(
                 haspend, jnp.uint32(0), jnp.uint32(1) << 31
             )
+            key = jnp.where(jnp.asarray(pend_first, bool), key_pf, key)
         perm = jnp.argsort(key)
         ka = 3 * bank_k  # acc / pend_rgb column width
         fparts = [st["o"], st["d"], st["acc"], st["light"], st["tp"],
@@ -882,6 +966,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         if pend_rgb is not None:  # feed phase: pending banks ride along
             fparts.append(pend_rgb)
             iparts.append(pend_idx.astype(jnp.int32))
+            iparts.append(pend_wait.astype(jnp.int32))
         fpack = jnp.concatenate(fparts, axis=1)[perm]
         ipack = jnp.stack(iparts, axis=1)[perm]
         st = dict(
@@ -896,7 +981,8 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         )
         if pend_rgb is None:
             return st
-        return st, ipack[:, 4].astype(jnp.uint32), fpack[:, 13 + ka:]
+        return (st, ipack[:, 4].astype(jnp.uint32), fpack[:, 13 + ka:],
+                ipack[:, 5] > 0)
 
 
     # The feed body DEGENERATES into a drain once the queue empties (regen
@@ -917,13 +1003,16 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     drain_stop = min_w if pool > min_w else 0
 
     def cond(st):
-        return (st["next_item"] < jnp.uint32(total)) | (
+        return (st["next_item"] < jnp.uint32(total_q)) | (
             jnp.sum(st["alive"], dtype=jnp.int32) > drain_stop
         )
 
     def body(st):
         fb = st.pop("fb")
         next_item = st.pop("next_item")
+        pend_idx = st.pop("pend_idx")
+        pend_rgb = st.pop("pend_rgb")
+        pend_wait = st.pop("pend_wait")
 
         # One ADVANCE instance traced inside a fori_loop instead of a
         # Python unroll: the unrolled body multiplied the compiled program
@@ -934,76 +1023,116 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         # the cadence bound above), so `where(bank, ...)` still collects
         # every bank exactly once.
         def one_advance(_, carry):
-            st, pend_idx, pend_rgb, next_item = carry
+            st, pend_idx, pend_rgb, pend_wait, next_item = carry
             st, path_done, more, bank = advance(st)
-            pend_idx = jnp.where(
-                bank, st["item"] % jnp.uint32(groups), pend_idx
-            )
-            pend_rgb = jnp.where(bank[:, None], st["acc"], pend_rgb)
-            st["acc"] = jnp.where(bank[:, None], 0.0, st["acc"])
+            # a lane whose pend slot is still full (possible only with
+            # staggered short items) WAITS instead of overwriting: it goes
+            # idle holding its finished acc and drains into the fresh slot
+            # at the window boundary (see the pend_idx state-field note)
+            if stagger:
+                haspend = pend_idx < jnp.uint32(fb_rows)
+                bank_now = bank & ~haspend
+                pend_wait = pend_wait | (bank & haspend)
+            else:
+                bank_now = bank
+            pend_idx = jnp.where(bank_now, fb_row_of(st["item"]), pend_idx)
+            pend_rgb = jnp.where(bank_now[:, None], st["acc"], pend_rgb)
+            st["acc"] = jnp.where(bank_now[:, None], 0.0, st["acc"])
             # queue pop: dense position among banked lanes -> next item
-            slot = jnp.cumsum(bank.astype(jnp.uint32)) - 1
+            slot = jnp.cumsum(bank_now.astype(jnp.uint32)) - 1
             new_item = next_item + slot
-            regen = bank & (new_item < total)
+            regen = bank_now & (new_item < total_q)
             st["item"] = jnp.where(regen, new_item, st["item"])
+            if stagger:  # compensating items start at their split point
+                st["schunk"] = jnp.where(
+                    regen, start_of(new_item), st["schunk"]
+                )
             st = restart_lanes(st, more | regen)
             next_item = jnp.minimum(
-                next_item + jnp.sum(bank, dtype=jnp.uint32),
-                jnp.uint32(total),
+                next_item + jnp.sum(bank_now, dtype=jnp.uint32),
+                jnp.uint32(total_q),
             )
-            return (st, pend_idx, pend_rgb, next_item)
+            return (st, pend_idx, pend_rgb, pend_wait, next_item)
 
-        def sort_block(_, carry):
+        def sort_block(bi, carry):
             carry = jax.lax.fori_loop(0, sort_every, one_advance, carry)
-            st, pend_idx, pend_rgb, next_item = carry
+            st, pend_idx, pend_rgb, pend_wait, next_item = carry
             if cfg.sort_lanes and scene.num_tris > 0:
-                st, pend_idx, pend_rgb = maybe_sort(st, pend_idx, pend_rgb)
-            return (st, pend_idx, pend_rgb, next_item)
+                st, pend_idx, pend_rgb, pend_wait = maybe_sort(
+                    st, pend_idx, pend_rgb, pend_wait,
+                    pend_first=(bi == n_blocks - 1),
+                )
+            return (st, pend_idx, pend_rgb, pend_wait, next_item)
 
-        # per-lane dummy rows (groups + lane): unique, in-bounds, and the
-        # sort permutation preserves pairwise distinctness
-        carry = (st, jnp.uint32(groups) + jnp.arange(pool, dtype=jnp.uint32),
-                 jnp.zeros((pool, 3 * bank_k), jnp.float32), next_item)
+        carry = (st, pend_idx, pend_rgb, pend_wait, next_item)
         n_blocks = flush_every // sort_every
         if n_blocks > 1:
             carry = jax.lax.fori_loop(0, n_blocks, sort_block, carry)
         else:
             carry = sort_block(0, carry)
-        st, pend_idx, pend_rgb, next_item = carry
-        # All indices are in-bounds and (when unique_bank) pairwise
-        # distinct: banked lanes hit their pixel-group row, everyone else
-        # their private dummy row — no OOB, no duplicate-under-
-        # unique_indices UB (VERDICT r3 weak #4 closed).
+        st, pend_idx, pend_rgb, pend_wait, next_item = carry
+        # All indices are pairwise distinct (when unique_bank): banked
+        # lanes hit their pixel-group row (< groups), everyone else a
+        # private OOB index (>= groups) that mode="drop" discards before
+        # the write stage — no duplicate-under-unique_indices UB
+        # (VERDICT r3 weak #4) and no dummy-row write traffic (the
+        # round-4 in-bounds variant's 12% regression, round-5 bisect).
         if scatter_cap:
             # The window's final maybe_sort ordered pend-holders first
             # (pend-first major bit), so when <= scatter_cap lanes hold a
             # real bank the prefix covers them all and the ~40-85 ns/row
             # scatter tax shrinks by the divisor; rows past the prefix are
-            # all dummies (zero rgb) whose omission changes nothing. The
+            # all dropped OOB lanes whose omission changes nothing. The
             # scalar-pred cond is REAL control flow at the XLA level (one
             # branch executes); short-path scenes where every lane banks
             # each window take the full-scatter branch and lose nothing.
             n_pend = jnp.sum(
-                (pend_idx < jnp.uint32(groups)).astype(jnp.int32)
+                (pend_idx < jnp.uint32(fb_rows)).astype(jnp.int32)
             )
             fb = jax.lax.cond(
                 n_pend <= scatter_cap,
                 lambda f: f.at[pend_idx[:scatter_cap]].add(
-                    pend_rgb[:scatter_cap], mode="promise_in_bounds",
+                    pend_rgb[:scatter_cap], mode="drop",
                     unique_indices=unique_bank,
                 ),
                 lambda f: f.at[pend_idx].add(
-                    pend_rgb, mode="promise_in_bounds",
+                    pend_rgb, mode="drop",
                     unique_indices=unique_bank,
                 ),
                 fb,
             )
         else:
             fb = fb.at[pend_idx].add(
-                pend_rgb, mode="promise_in_bounds",
+                pend_rgb, mode="drop",
                 unique_indices=unique_bank
             )
-        return dict(st, fb=fb, next_item=next_item)
+        # fresh slots for the next window...
+        pend_idx = jnp.uint32(fb_rows) + jnp.arange(pool, dtype=jnp.uint32)
+        pend_rgb = jnp.zeros((pool, 3 * bank_k), jnp.float32)
+        if stagger:
+            # ...immediately claimed by the lanes that had to WAIT (their
+            # second bank arrived while the slot was full): bank them now
+            # and regenerate them from the queue — exactly one window late,
+            # never lost
+            pend_idx = jnp.where(
+                pend_wait, fb_row_of(st["item"]), pend_idx
+            )
+            pend_rgb = jnp.where(pend_wait[:, None], st["acc"], pend_rgb)
+            st["acc"] = jnp.where(pend_wait[:, None], 0.0, st["acc"])
+            slot = jnp.cumsum(pend_wait.astype(jnp.uint32)) - 1
+            new_item = next_item + slot
+            regen = pend_wait & (new_item < total_q)
+            st["item"] = jnp.where(regen, new_item, st["item"])
+            st["schunk"] = jnp.where(regen, start_of(new_item),
+                                     st["schunk"])
+            st = restart_lanes(st, regen)
+            next_item = jnp.minimum(
+                next_item + jnp.sum(pend_wait, dtype=jnp.uint32),
+                jnp.uint32(total_q),
+            )
+            pend_wait = jnp.zeros((pool,), bool)
+        return dict(st, fb=fb, next_item=next_item, pend_idx=pend_idx,
+                    pend_rgb=pend_rgb, pend_wait=pend_wait)
 
     state = jax.lax.while_loop(cond, body, state)
 
@@ -1012,6 +1141,16 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     # restart on their remaining samples)
     fb = state.pop("fb")
     state.pop("next_item")
+    pend_idx = state.pop("pend_idx")
+    pend_rgb = state.pop("pend_rgb")
+    state.pop("pend_wait")  # always all-False at a window boundary
+    if stagger:
+        # the last window's wait-drain refilled the pend slots AFTER that
+        # window's scatter — flush them once (empty for non-staggered
+        # configs, so the extra scatter is gated)
+        fb = fb.at[pend_idx].add(
+            pend_rgb, mode="drop", unique_indices=unique_bank
+        )
     drain = state
     # the merged loop banked its finished lanes already (pend scatter);
     # zero their residue so the flushes below stay idempotent
@@ -1060,14 +1199,16 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         flushed at stage k adds nothing at stage k+1). Lanes whose item was
         never assigned (pool > total) are excluded — their item id aliases
         a real pixel modulo n_pix, which would break the unique-indices
-        contract of the scatter. Excluded/live lanes target their private
-        dummy row (see the fb allocation note) — unique and in-bounds."""
+        contract of the scatter. Excluded/live lanes carry a private OOB
+        index (unique, dropped before the write stage — see the fb
+        allocation note)."""
         w = st["item"].shape[0]  # drain stages narrow the pool
-        dead = ~st["alive"] & (st["item"] < jnp.uint32(total))
-        idx = jnp.where(dead, st["item"] % jnp.uint32(groups),
-                        jnp.uint32(groups) + jnp.arange(w, dtype=jnp.uint32))
+        dead = ~st["alive"] & (st["item"] < jnp.uint32(total_q))
+        idx = jnp.where(dead, fb_row_of(st["item"]),
+                        jnp.uint32(fb_rows)
+                        + jnp.arange(w, dtype=jnp.uint32))
         fb = fb.at[idx].add(
-            st["acc"], mode="promise_in_bounds", unique_indices=unique_bank
+            st["acc"], mode="drop", unique_indices=unique_bank
         )
         return fb, dict(st, acc=jnp.where(dead[:, None], 0.0, st["acc"]))
 
@@ -1081,10 +1222,13 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         }
     drain = drain_stage(drain, 0)
     fb, drain = flush(fb, drain)
-    # drop the per-lane dummy rows; the remaining (groups, 3*bank_k) rows
-    # are K row-major (pixel, rgb) blocks — the reshape recovers the
-    # (n_pix, 3) contract exactly
-    fb = fb[:groups].reshape(n_pix, 3)
+    if stagger:
+        # fold the compensating items' private rows (groups + j holds the
+        # [cut(j), per_item) half of group j's banks) back onto their groups
+        fb = fb[:groups].at[:pool].add(fb[groups:])
+    # (groups, 3*bank_k) rows are K row-major (pixel, rgb) blocks — the
+    # reshape recovers the (n_pix, 3) contract exactly
+    fb = fb.reshape(n_pix, 3)
     if return_stats:
         return fb, drain["rays"], dict(
             mxu_tile_passes=drain["mxu_tile_passes"],

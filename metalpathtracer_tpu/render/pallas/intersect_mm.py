@@ -800,6 +800,97 @@ def _cull_kernel(rayp_ref, tbt_ref, ghit_ref, gent_ref, lb_ref, *,
 # intermediates in HBM — bunny300k device self-time 562 -> 456 ms).
 CULL_KERNEL_MIN_TILES = int(os.environ.get("MPT_CULL_KMIN", "512"))
 
+# --- signature-homogeneous subgroup regrouping (VERDICT r4 #1) -----------
+#
+# The kernels test each CULL_R-lane subgroup against the UNION of its
+# lanes' passing tiles; on incoherent bounce distributions the union
+# inflates pairs 6-60x over per-lane entitlement (benchmarks/cull_diag.py,
+# docs/PERFORMANCE.md round 4) — the structural wall both kernels are
+# pair-bound on. The pool sort already orders lanes by their coarse
+# tile-set signature, but fixed 128-lane subgroup boundaries cut through
+# signature runs, so most subgroups mix 2+ signatures. This pass re-places
+# lanes into a padded buffer where every equal-signature run starts at a
+# 128-lane boundary: each subgroup then holds ONE signature and its union
+# collapses toward the run's shared tiles — the same property the
+# reference's per-thread ordered BVH traversal gets for free
+# (PathTracing.h:75-204), recovered at vector-register granularity.
+# Padding lanes are inactive (they join no union and their subgroups walk
+# only their run's tiles), so the extra width costs only the cull slab
+# pass + per-cell fixed overhead, not pairs. When the run structure is too
+# fragmented to fit the static capacity, the key coarsens (low signature
+# bits drop — lexicographic neighbors merge) and ultimately falls back to
+# the identity placement (= today's behavior).
+REGROUP = os.environ.get("MPT_REGROUP", "1") == "1"
+# padded capacity = n * (1 + SLACK), rounded up to BLOCK_R
+REGROUP_SLACK = float(os.environ.get("MPT_REGROUP_SLACK", "0.5"))
+
+
+def _signature_key(x, active, occ, coarse_box, t_min):
+    """Per-lane u32 coarse tile-set signature — the same quantity the
+    integrator's 'tileset' sort key uses (one slab-test bit per coarse
+    range AABB), with the lane's occlusion bound folded in so the
+    signature matches what its tile lists will actually contain."""
+    n = x.shape[0]
+    o, d = x[:, 6:9], x[:, 0:3]
+    chit, _ = _cull_hit_mask(o, d, active.reshape(n, 1), coarse_box,
+                             t_min, occ)
+    bits = jnp.uint32(1) << jnp.arange(
+        coarse_box.shape[0], dtype=jnp.uint32
+    )
+    return jnp.sum(chit.astype(jnp.uint32) * bits[:, None], axis=0,
+                   dtype=jnp.uint32)
+
+
+def _regroup_dest(key, cap):
+    """Monotone destination positions placing each equal-key run at a
+    128-aligned start. Tries the exact key, then two coarsened levels
+    (>>8, >>16 — adjacent signatures merge), then identity when even the
+    coarse runs don't fit `cap`. One cummax + one cumsum per level."""
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def dest_for(shift):
+        kk = jax.lax.shift_right_logical(
+            key, jnp.uint32(shift)
+        ) if shift else key
+        newrun = jnp.concatenate(
+            [jnp.ones((1,), bool), kk[1:] != kk[:-1]]
+        )
+        run_start = jax.lax.cummax(jnp.where(newrun, iota, 0))
+        off = iota - run_start
+        blockstart = (off % 128) == 0
+        return (128 * (jnp.cumsum(blockstart.astype(jnp.int32)) - 1)
+                + (off % 128))
+
+    d0, d1, d2 = dest_for(0), dest_for(8), dest_for(16)
+    # dest is monotone, so the last element is the max
+    dest = jnp.where(
+        d0[-1] < cap, d0,
+        jnp.where(d1[-1] < cap, d1, jnp.where(d2[-1] < cap, d2, iota)),
+    )
+    return dest
+
+
+def _regroup_lanes(x, active, occ, coarse_box, t_min, cap):
+    """Gather (x, active, occ) into the `cap`-wide run-aligned placement.
+    Returns the widened operands plus the (n,) dest map for reading the
+    kernel's per-lane outputs back. Unfilled slots hold an inactive
+    zero-ray (sentinel row n of each extended operand)."""
+    n = x.shape[0]
+    key = _signature_key(x, active, occ, coarse_box, t_min)
+    dest = _regroup_dest(key, cap)
+    pmap = jnp.full((cap,), n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    xg = jnp.concatenate(
+        [x, jnp.zeros((1, x.shape[1]), x.dtype)]
+    )[pmap]
+    actg = jnp.concatenate(
+        [active, jnp.zeros((1, 1), active.dtype)]
+    )[pmap]
+    occg = jnp.concatenate([occ, jnp.full((1,), _INF)])[pmap]
+    return xg, actg, occg, dest
+
 
 def _cull_pass(x, active, tile_box, t_min, occ=None, interpret=False):
     """Subgroup-granularity cull: returns
@@ -1020,14 +1111,30 @@ def _cull_stream_lists(x, active, tile_box, t_min, occ=None,
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))
-def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
-                       interpret: bool):
+def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, coarse_box,
+                       t_min: float, interpret: bool):
     """occ_t (n,) f32: per-lane occlusion bound from primitives already
     intersected OUTSIDE this kernel (the exact sphere pass) — a tile whose
     entry distance exceeds it cannot produce the winning hit, so it folds
     into the lane relevance bound for the best-t prune (the same role the
     running closest-t plays across node kinds in the reference's BVH
-    traversal, PathTracing.h:102). +inf disables."""
+    traversal, PathTracing.h:102). +inf disables.
+
+    coarse_box (32, 8): the coarse range AABBs driving the signature-
+    homogeneous regrouping (see REGROUP above); (0, 8) disables."""
+    n_in = x.shape[0]
+    regroup = (
+        REGROUP and coarse_box.shape[0] > 0 and n_in >= 2 * BLOCK_R
+    )
+    dest = None
+    if regroup:
+        cap = n_in + max(
+            BLOCK_R,
+            -(-int(n_in * REGROUP_SLACK) // BLOCK_R) * BLOCK_R,
+        )
+        x, active, occ_t, dest = _regroup_lanes(
+            x, active, occ_t, coarse_box, t_min, cap
+        )
     n = x.shape[0]
     n_tiles = w_all.shape[0]  # (n_tiles, W_ROWS, 4*tile_p)
     tile_p = w_all.shape[2] // 4  # per-scene tile size (build_weights)
@@ -1150,7 +1257,10 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, t_min: float,
     tile_passes = jnp.sum(pair_counts).astype(jnp.float32) * (
         pair_lanes * tile_p / float(1 << 20)
     )
-    return t.reshape(n), idx.reshape(n), tile_passes
+    t, idx = t.reshape(n), idx.reshape(n)
+    if regroup:  # read each source lane's result from its placed slot
+        t, idx = t[dest], idx[dest]
+    return t, idx, tile_passes
 
 
 def _sphere_hit_exact(scene, o, d, t_min):
@@ -1230,8 +1340,8 @@ def closest_hit_mm_full(scene, o, d, t_min=T_MIN, active=None, occ_t=None):
             occ = jnp.concatenate([occ, jnp.full((pad,), jnp.inf)])
         interpret = jax.default_backend() == "cpu"
         t_t, col, tile_passes = _tri_hit_mm_padded(
-            x, act, occ, scene.mm_w, scene.mm_tile_box, float(t_min),
-            interpret,
+            x, act, occ, scene.mm_w, scene.mm_tile_box,
+            scene.mm_coarse_box, float(t_min), interpret,
         )
         t_t, col = t_t[:n], col[:n]
         ccol = jnp.maximum(col, 0)

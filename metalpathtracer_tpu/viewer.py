@@ -103,7 +103,11 @@ def _read_events(timeout: float = 0.0) -> list[tuple]:
             continue
         ch2 = sys.stdin.read(1)
         if ch2 != "[":
+            # ESC followed by a plain byte (alt-chords, pasted text): the
+            # byte is a real keystroke, not part of a control sequence —
+            # dropping it ate the key (tests/test_viewer_input.py)
             events.append(("key", "esc"))
+            events.append(("key", "esc" if ch2 == "\x1b" else ch2))
             continue
         if not select.select([sys.stdin], [], [], 0.01)[0]:
             continue

@@ -165,6 +165,79 @@ def test_b3_hi_lo_split_precision():
     assert err3.max() < err1.max() / 30
 
 
+def test_regroup_dest_aligns_runs():
+    """_regroup_dest must (a) keep source order within a run, (b) start
+    every run at a 128-lane boundary when it fits the cap, (c) fall back
+    to identity when even coarsened runs overflow."""
+    from metalpathtracer_tpu.render.pallas.intersect_mm import _regroup_dest
+
+    # three runs: 200 + 60 + 100 lanes -> aligned starts 0, 256, 384
+    key = jnp.asarray(
+        np.repeat(np.array([5, 9, 12], np.uint32), [200, 60, 100])
+    )
+    dest = np.asarray(_regroup_dest(key, 1024))
+    assert dest[0] == 0 and dest[199] == 199
+    assert dest[200] == 256 and dest[259] == 315
+    assert dest[260] == 384 and dest[359] == 483
+    assert len(np.unique(dest)) == len(dest)  # injective
+
+    # every lane its own signature, spread so no coarsening level merges
+    # them: 360 runs x 128 lanes >> cap -> identity fallback
+    key2 = jnp.asarray((np.arange(360, dtype=np.uint32) << 16))
+    dest2 = np.asarray(_regroup_dest(key2, 512))
+    np.testing.assert_array_equal(dest2, np.arange(360))
+
+
+def test_regroup_matches_bruteforce_sorted_rays():
+    """Signature-homogeneous regrouping engaged (width >= 2*BLOCK_R,
+    rays pre-sorted by their coarse signature so real runs exist) must
+    leave closest-hit results identical to the oracle: a lane's subgroup
+    union always contains the lane's own passing tiles, whatever the
+    grouping."""
+    from metalpathtracer_tpu.render.pallas import intersect_mm
+    from metalpathtracer_tpu.render.pallas.intersect_mm import (
+        BLOCK_R,
+        T_MIN,
+        ray_features,
+        _signature_key,
+    )
+
+    assert intersect_mm.REGROUP  # default-on; this test exercises it
+    scene = upload_scene(
+        load_scene_xml(os.path.join(REPO, "scenes", "reference.xml"))
+    )
+    n = 2 * BLOCK_R
+    o, d = random_rays(n, seed=42, origin_span=8.0, center=(0, 2, 6))
+    key = np.asarray(_signature_key(
+        ray_features(o, d), jnp.ones((n,), jnp.float32), jnp.full((n,), jnp.inf),
+        scene.mm_coarse_box, T_MIN,
+    ))
+    order = np.argsort(key, kind="stable")
+    assert len(np.unique(key)) < n // 4  # real runs exist at this geometry
+    o, d = o[order], d[order]
+    t0, i0 = closest_hit_bruteforce(scene, o, d)
+    t1, i1 = closest_hit_mm(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    f = np.isfinite(np.asarray(t0))
+    assert f.sum() > n // 4
+    # rtol 2e-3: two grazing ground-sphere hits carry the documented
+    # mm-vs-brute FMA-contraction residual (present regroup on OR off)
+    np.testing.assert_allclose(
+        np.asarray(t1)[f], np.asarray(t0)[f], rtol=2e-3, atol=1e-2
+    )
+    # regrouping must be RESULT-INVARIANT, bit for bit: same per-lane
+    # winners whatever the subgroup placement
+    try:
+        intersect_mm.REGROUP = False
+        intersect_mm._tri_hit_mm_padded.clear_cache()
+        t2, i2 = closest_hit_mm(scene, o, d)
+    finally:
+        intersect_mm.REGROUP = True
+        intersect_mm._tri_hit_mm_padded.clear_cache()
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
 def test_cull_pass_matches_xla_reference(monkeypatch):
     """The fused Pallas cull kernel must reproduce the XLA slab-test
     formulation it replaced: subgroup union mask, subgroup-min entry, and

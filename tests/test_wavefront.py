@@ -83,6 +83,28 @@ def test_wavefront_open_scene(cornell):
     assert ra == rb
 
 
+def test_wavefront_stagger_matches_scan():
+    """Staggered first-generation items (completion-wave desync, VERDICT
+    r4 #3): first-gen item j covers only [0, cut(j)) sample-chunks and a
+    compensating queue entry covers the rest, banking to a private fb row.
+    The estimate must still equal the scan integrator's exactly (same
+    (pixel, sample) set, positional RNG). Geometry chosen so the stagger
+    gate engages: triangle scene (scatter_cap needs tris), spb == spp,
+    bank_k > 1, groups >= pool."""
+    scene = upload_scene(presets.reference_default())
+    cam = Camera.reset()
+    cfg = RenderConfig(max_depth=6, bank_k=2)
+    # n_pix = 64*36 = 2304, pool 128: groups = 1152 >= pool, spb = spp = 4,
+    # per_item = 8 -> cut cycles [1, 7]
+    a, ra = render_image(scene, cam, 64, 36, spp=4, seed=7, cfg=cfg)
+    b, rb = render_image_wavefront(
+        scene, cam, 64, 36, spp=4, seed=7, cfg=cfg, pool_size=128
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+    assert ra == rb
+
+
 def test_wavefront_clamp(cornell):
     cfg = RenderConfig(max_depth=4, clamp_radiance=True)
     img, _ = render_image_wavefront(
