@@ -63,6 +63,10 @@ _ENV_SCATTER_CAP_DIV = int(os.environ.get("MPT_SCATTER_CAP_DIV", "4"))
 # trace_wavefront). Import-time read like every other sweep knob.
 _ENV_STAGGER = os.environ.get("MPT_STAGGER", "1") == "1"
 
+# static routing of the most recent trace_wavefront TRACE (see the
+# assignment site below) — a debug/validation surface, not runtime state
+LAST_PLAN: dict = {}
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
@@ -641,6 +645,16 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     )
     total_q = total + (pool if stagger else 0)  # queue length incl. comps
     fb_rows = groups + (pool if stagger else 0)
+
+    # static routing record (trace-time Python values only): lets the
+    # multichip dryrun / tests ASSERT which paths a given configuration
+    # engages instead of re-deriving the eligibility logic (VERDICT r4 #7)
+    global LAST_PLAN
+    LAST_PLAN = dict(
+        pool=pool, spb=spb, chunks=chunks, bank_k=bank_k, groups=groups,
+        scatter_cap=scatter_cap, stagger=bool(stagger),
+        sort_lanes=bool(cfg.sort_lanes and scene.num_tris > 0),
+    )
 
     def cut_of(j):
         """First-generation split point of item j (uint32 array)."""

@@ -824,6 +824,10 @@ REGROUP = os.environ.get("MPT_REGROUP", "1") == "1"
 # padded capacity = n * (1 + SLACK), rounded up to BLOCK_R
 REGROUP_SLACK = float(os.environ.get("MPT_REGROUP_SLACK", "0.5"))
 
+# static routing of the most recent _tri_hit_mm_padded TRACE (stream vs
+# resident kernel, regroup engaged) — validation surface for the dryrun
+LAST_PLAN: dict = {}
+
 
 def _signature_key(x, active, occ, coarse_box, t_min):
     """Per-lane u32 coarse tile-set signature — the same quantity the
@@ -1234,6 +1238,9 @@ def _tri_hit_mm_padded(x, active, occ_t, w_all, tile_box, coarse_box,
         scratch = []  # resident kernel keeps bests in loop carries
         pair_counts = counts
 
+    global LAST_PLAN
+    LAST_PLAN = dict(stream=bool(stream), regroup=bool(regroup),
+                     n_lanes=int(n), tile_p=int(tile_p))
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
