@@ -51,15 +51,6 @@ class DeviceScene:
     # (32, 8) coarse AABBs over contiguous Morton tile-id ranges: the
     # wavefront's tile-set-signature sort key (one u32 bit per coarse box)
     mm_coarse_box: jax.Array
-    # fused-advance tables (render/pallas/advance_mm.py) — transposed
-    # weight slab (n_tiles, 4*tile_p, 64) bf16 and the exact 3-way bf16
-    # split of the refine+material rows (n_tiles, 48, tile_p; triangle
-    # material fields are baked per triangle so the fused kernel needs no
-    # material fetch). Built only for pack-mode scenes small enough for
-    # the fused kernel; a (0,)-shaped placeholder otherwise
-    # (fused_eligible checks ndim == 3).
-    mm_w_t: jax.Array
-    mm_refine3: jax.Array
     # sphere SoA for the exact sphere pass
     sph_center: jax.Array  # float32 (S, 3)
     sph_radius: jax.Array  # float32 (S,)
@@ -242,25 +233,6 @@ def upload_scene(
     sph_mat_id = np.zeros(w["sph_ids"].shape[0], np.int32)
     sph_mat_id[sph_real] = prim_mat_id[w["sph_ids"][sph_real]]
 
-    # fused-advance tables (built AFTER the material-id column fill above —
-    # refine3 carries the ids inside its exact 3-way split)
-    from metalpathtracer_tpu.render.pallas import advance_mm
-    from metalpathtracer_tpu.render.pallas import intersect_mm as _imm
-
-    n_tris = int(w["n_tris"])
-    if (
-        _imm.MM_PRECISION_MODE == "pack"
-        and 0 < n_tris <= advance_mm.FUSED_MAX_TRIS
-        and n_tris <= _imm.VMEM_RESIDENT_MAX_TRIS
-    ):
-        tile_p = w["w_all"].shape[2] // 4
-        fused = advance_mm.build_fused_tables(w, tile_p, mat_bank)
-        mm_w_t = fused["w_t"]
-        mm_refine3 = fused["refine3"]
-    else:
-        mm_w_t = np.zeros((0,), np.float32)
-        mm_refine3 = np.zeros((0,), np.float32)
-
     return DeviceScene(
         prim_type=jax.numpy.asarray(packed.prim_type),
         p0=jax.numpy.asarray(packed.p0),
@@ -281,8 +253,6 @@ def upload_scene(
         mm_refine=jax.numpy.asarray(w["tri_refine"]),
         mm_tile_box=jax.numpy.asarray(w["tile_box"]),
         mm_coarse_box=jax.numpy.asarray(_coarse_boxes(w["tile_box"])),
-        mm_w_t=jax.numpy.asarray(mm_w_t),
-        mm_refine3=jax.numpy.asarray(mm_refine3),
         sph_center=jax.numpy.asarray(w["sph_center"]),
         sph_radius=jax.numpy.asarray(w["sph_radius"]),
         sph_ids=jax.numpy.asarray(w["sph_ids"]),

@@ -59,9 +59,6 @@ _ENV_DRAIN_SORT = os.environ.get("MPT_DRAIN_SORT", "")
 # so compacting real banks into a prefix is worth ~19% -> ~5% of device
 # time on the flagship profile (docs/PERFORMANCE.md round 4).
 _ENV_SCATTER_CAP_DIV = int(os.environ.get("MPT_SCATTER_CAP_DIV", "4"))
-# completion-wave desync (staggered first-generation items; see
-# trace_wavefront). Import-time read like every other sweep knob.
-_ENV_STAGGER = os.environ.get("MPT_STAGGER", "1") == "1"
 
 # static routing of the most recent trace_wavefront TRACE (see the
 # assignment site below) — a debug/validation surface, not runtime state
@@ -132,14 +129,14 @@ class RenderConfig:
     # K=8 number was measured at the smaller pool; K=8 at pool 2^15
     # re-measured 30.0 vs 32.8 for auto(4), so the guard's pick stands.
     bank_k: int = 0
-    # fused-advance Pallas kernel (render/pallas/advance_mm.py): the whole
-    # non-NEE bounce in ONE kernel when the scene is pack-mode resident.
-    # A RenderConfig field (not a module flag) so toggling it retraces —
-    # the jit cache keys on cfg (the ADVICE-r3 env-knob trap). OPT-IN while
-    # the on-chip gate (benchmarks/fused_check.py) and perf are open: the
-    # first chip run measured 17.2 vs 28.7 Mrays/s split and a behavioral
-    # divergence under the wavefront (under investigation).
-    fused: bool = os.environ.get("MPT_FUSED", "0") == "1"
+    # NOTE: a fused-advance Pallas megakernel (the whole non-NEE bounce in
+    # ONE kernel — the reference's one-dispatch frame, Renderer.cpp:269-310)
+    # was built in round 4 and DELETED in round 5 per VERDICT r4 #4's
+    # win-or-cut: after three optimization passes it still measured 26.7 vs
+    # 29.7 Mrays/s against the split path (the fused extract+shade phases
+    # cost more than the XLA ops they deleted), and its eligibility
+    # excluded NEE/streaming/non-pack configs. History: git 40b36c4..,
+    # docs/PERFORMANCE.md round 4.
 
 
 DEFAULT_CONFIG = RenderConfig()
@@ -330,22 +327,6 @@ def _bounce_step(scene, o, d, light, throughput, active, prev_pdf,
     occlusion probes apart from full path rays (VERDICT r3 weak #8 —
     shadow rays are cheap tile-pruned queries, not flagship-equivalent
     work)."""
-    # Fused-advance fast path (render/pallas/advance_mm.py): the whole
-    # bounce — intersect + refine + material + shade + RNG — runs as ONE
-    # Pallas kernel for non-NEE pack-mode resident scenes, replacing the
-    # ~80-op XLA loop body whose per-op issue overhead was the dominant
-    # non-kernel cost (VERDICT r3 missing #3; the reference's one-dispatch
-    # frame, Renderer.cpp:269-310). Bit-identical to the split path below
-    # in CPU interpret mode (tests/test_advance_mm.py), so routing is a
-    # pure static perf decision.
-    from metalpathtracer_tpu.render.pallas import advance_mm
-
-    if advance_mm.fused_eligible(scene, cfg, o.shape[0]):
-        return advance_mm.fused_bounce_step(
-            scene, o, d, light, throughput, active,
-            pixel_id, sample_id, bounce, seed, cfg,
-        )
-
     rays_counted = jnp.sum(active, dtype=jnp.int32)
     shadow_counted = jnp.zeros((), jnp.int32)
 
@@ -612,39 +593,19 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     total = groups * chunks  # work items = (pixel-group, sample-chunk)
     unique_bank = spb == spp  # item <-> fb row is 1:1 -> no add collisions
 
-    # Completion-wave desync (VERDICT r4 #3): with a full-size first
-    # generation every lane's item finishes after ~the same number of
-    # advances, so banks arrive in SYNCHRONIZED WAVES and the capped fb
-    # scatter's narrow branch never fires on short renders (round-4
-    # profile: fb scatter 17.5% of device time, "wave-bound"). Staggering
-    # the FIRST generation's item lengths decorrelates every later
-    # generation too (completion phases inherit the offsets plus path-
-    # length noise). Mechanism: first-gen item j covers only sample-chunks
-    # [0, cut(j)) with cut(j) cycling over [1, per_item-1]; a COMPENSATING
-    # queue entry `total + j` (queued at the end) covers [cut(j),
-    # per_item), so every (pixel, sample) is traced exactly once and the
-    # estimate is unchanged up to fb addition order. Compensating items
-    # bank to a private extra fb row (groups + j) — the two partial banks
-    # of a group can land in the same flush window, and distinct rows keep
-    # the scatter's unique-indices contract; the extra rows fold back in
-    # one add at the end. Requires chunks == 1 (so item % groups stays the
-    # group id for compensating ids) and groups >= pool (first-gen item j
-    # targets group j).
     # capped fb scatter (see _ENV_SCATTER_CAP_DIV): sound only when every
     # feed window ends with a pend-first sort, i.e. when lane sorting is
     # on at all — unsorted pools leave real banks anywhere in the pool.
+    # (A completion-wave STAGGER — splitting first-generation items so the
+    # cap's narrow branch fires every window, VERDICT r4 #3 — was built
+    # and measured DEAD this round: the extra bank/regen cycles of the
+    # split items cost 32.7 -> 28.7 Mrays/s on the flagship, far more than
+    # the scatter rows it saved. Removed per the directive's own
+    # win-or-remove criterion; docs/PERFORMANCE.md round 5.)
     scatter_cap = 0
     if (_ENV_SCATTER_CAP_DIV > 0 and cfg.sort_lanes
             and scene.num_tris > 0 and pool >= 4 * _ENV_SCATTER_CAP_DIV):
         scatter_cap = pool // _ENV_SCATTER_CAP_DIV
-    stagger = (
-        _ENV_STAGGER
-        and scatter_cap > 0
-        and unique_bank and chunks == 1 and per_item >= 2
-        and groups >= pool
-    )
-    total_q = total + (pool if stagger else 0)  # queue length incl. comps
-    fb_rows = groups + (pool if stagger else 0)
 
     # static routing record (trace-time Python values only): lets the
     # multichip dryrun / tests ASSERT which paths a given configuration
@@ -652,53 +613,18 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     global LAST_PLAN
     LAST_PLAN = dict(
         pool=pool, spb=spb, chunks=chunks, bank_k=bank_k, groups=groups,
-        scatter_cap=scatter_cap, stagger=bool(stagger),
+        scatter_cap=scatter_cap,
         sort_lanes=bool(cfg.sort_lanes and scene.num_tris > 0),
     )
 
-    def cut_of(j):
-        """First-generation split point of item j (uint32 array)."""
-        return (j % jnp.uint32(per_item - 1)) + jnp.uint32(1)
-
-    def start_of(item):
-        """First schunk of `item` (0 except compensating items)."""
-        if not stagger:
-            return jnp.zeros_like(item)
-        comp = item >= jnp.uint32(total)
-        j = jnp.where(comp, item - jnp.uint32(total), 0)
-        return jnp.where(comp, cut_of(j), jnp.uint32(0))
-
-    def end_of(item):
-        """One past the last schunk of `item`."""
-        if not stagger:
-            return jnp.full_like(item, per_item)
-        return jnp.where(
-            item < jnp.uint32(pool), cut_of(item), jnp.uint32(per_item)
-        )
-
     def fb_row_of(item):
-        """Framebuffer row an item banks to (compensating items use the
-        private extra rows so indices stay pairwise distinct)."""
-        if not stagger:
-            return item % jnp.uint32(groups)
-        return jnp.where(
-            item < jnp.uint32(total),
-            item % jnp.uint32(groups),
-            jnp.uint32(groups) + (item - jnp.uint32(total)),
-        )
+        """Framebuffer row an item banks to."""
+        return item % jnp.uint32(groups)
 
     def pix_samp_of(item, schunk):
-        """(pixel, sample) of a work unit. Compensating items alias their
-        base item's mapping exactly (chunks == 1 when stagger is on) —
-        BOTH the raygen and the in-flight RNG streams must use this, or
-        the two halves of a split item draw from different sample
-        streams (the round-5 stagger bug: advance() had its own inline
-        copy without the compensating-item fold)."""
-        g_item = (
-            jnp.where(item >= jnp.uint32(total), item - jnp.uint32(total),
-                      item)
-            if stagger else item
-        )
+        """(pixel, sample) of a work unit — BOTH the raygen and the
+        in-flight RNG streams must use this single definition."""
+        g_item = item
         pixel = (
             (g_item % jnp.uint32(groups)) * jnp.uint32(bank_k)
             + schunk // jnp.uint32(spb)
@@ -729,32 +655,26 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         light=jnp.zeros((pool, 3), jnp.float32),
         tp=jnp.ones((pool, 3), jnp.float32),
         prev_pdf=jnp.zeros((pool,), jnp.float32),
-        alive=item0 < total_q,
-        # `fb_rows` rows (`groups`, plus `pool` private compensating-item
-        # rows under stagger); lanes with no pending bank carry the UNIQUE
-        # out-of-bounds index `fb_rows + lane` and scatter in mode="drop":
+        alive=item0 < total,
+        # `groups` fb rows; lanes with no pending bank carry the UNIQUE
+        # out-of-bounds index `groups + lane` and scatter in mode="drop":
         # indices stay pairwise distinct (no duplicate-under-unique_indices
         # UB — the round-2/3 formulation shared ONE OOB index, VERDICT r3
         # weak #4), while dropped rows never reach the write stage. The
         # round-4 in-bounds per-lane DUMMY-row variant was NOT cost-free:
         # really writing `pool` dummy rows per window measured 32.6 -> 28.6
         # Mrays/s on chip (round-5 regression bisect, docs/PERFORMANCE.md).
-        fb=jnp.zeros((fb_rows, 3 * bank_k), jnp.float32),
-        next_item=jnp.uint32(min(pool, total_q)),
+        fb=jnp.zeros((groups, 3 * bank_k), jnp.float32),
+        next_item=jnp.uint32(min(pool, total)),
         rays=jnp.zeros((), jnp.int32),
         shadow=jnp.zeros((), jnp.int32),
         mxu_tile_passes=jnp.zeros((), jnp.float32),
-        # pending-bank slots (scattered once per flush window). In state
-        # rather than re-initialized per feed body because STAGGERED items
-        # can be shorter than the flush window: a lane whose slot is full
-        # when a second bank arrives WAITS (pend_wait, lane idle) and
-        # drains into the freshly-emptied slot at the window boundary —
-        # without this, chained short compensating items overwrote the
-        # first pending bank (radiance moved between pixels; caught by
-        # test_wavefront_sharded_streaming_kernel's bit-equality).
-        pend_idx=jnp.uint32(fb_rows) + jnp.arange(pool, dtype=jnp.uint32),
+        # pending-bank slots (scattered once per flush window); a lane
+        # banks at most once per window (banks are >= per_item advances
+        # apart, see the flush_every note below), so a slot is always free
+        # when its lane banks
+        pend_idx=jnp.uint32(groups) + jnp.arange(pool, dtype=jnp.uint32),
         pend_rgb=jnp.zeros((pool, 3 * bank_k), jnp.float32),
-        pend_wait=jnp.zeros((pool,), bool),
     )
 
     # The fb scatter-add costs ~52 ns per pool ROW per call on this backend
@@ -830,8 +750,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         light = jnp.where(path_done[:, None], 0.0, light)
 
         schunk_next = schunk + path_done.astype(jnp.uint32)
-        # same item, next path (staggered items end before per_item)
-        more = path_done & (schunk_next < end_of(item))
+        more = path_done & (schunk_next < jnp.uint32(per_item))
         bank = path_done & ~more  # item finished -> bank to framebuffer
 
         st = dict(
@@ -859,8 +778,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             alive=st["alive"] | restart,
         )
 
-    def maybe_sort(st, pend_idx=None, pend_rgb=None, pend_wait=None,
-                   pend_first=True):
+    def maybe_sort(st, pend_idx=None, pend_rgb=None, pend_first=True):
         # origin-locality sort: tile lists are per CULL_R-lane subgroup,
         # so grouping lanes by origin Morton cell makes BOUNCED
         # subgroups cull like coherent primaries (the per-block-ANY
@@ -964,7 +882,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             # sort feeds the capped scatter, so intermediate sorts keep the
             # full coherence key (ADVICE r4 #1): `pend_first` is a traced
             # flag — one wide select, no extra compiled sort_block variant.
-            haspend = pend_idx < jnp.uint32(fb_rows)
+            haspend = pend_idx < jnp.uint32(groups)
             key_pf = (key >> 1) | jnp.where(
                 haspend, jnp.uint32(0), jnp.uint32(1) << 31
             )
@@ -980,7 +898,6 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         if pend_rgb is not None:  # feed phase: pending banks ride along
             fparts.append(pend_rgb)
             iparts.append(pend_idx.astype(jnp.int32))
-            iparts.append(pend_wait.astype(jnp.int32))
         fpack = jnp.concatenate(fparts, axis=1)[perm]
         ipack = jnp.stack(iparts, axis=1)[perm]
         st = dict(
@@ -995,8 +912,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         )
         if pend_rgb is None:
             return st
-        return (st, ipack[:, 4].astype(jnp.uint32), fpack[:, 13 + ka:],
-                ipack[:, 5] > 0)
+        return st, ipack[:, 4].astype(jnp.uint32), fpack[:, 13 + ka:]
 
 
     # The feed body DEGENERATES into a drain once the queue empties (regen
@@ -1017,7 +933,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     drain_stop = min_w if pool > min_w else 0
 
     def cond(st):
-        return (st["next_item"] < jnp.uint32(total_q)) | (
+        return (st["next_item"] < jnp.uint32(total)) | (
             jnp.sum(st["alive"], dtype=jnp.int32) > drain_stop
         )
 
@@ -1026,7 +942,6 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         next_item = st.pop("next_item")
         pend_idx = st.pop("pend_idx")
         pend_rgb = st.pop("pend_rgb")
-        pend_wait = st.pop("pend_wait")
 
         # One ADVANCE instance traced inside a fori_loop instead of a
         # Python unroll: the unrolled body multiplied the compiled program
@@ -1037,54 +952,40 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         # the cadence bound above), so `where(bank, ...)` still collects
         # every bank exactly once.
         def one_advance(_, carry):
-            st, pend_idx, pend_rgb, pend_wait, next_item = carry
+            st, pend_idx, pend_rgb, next_item = carry
             st, path_done, more, bank = advance(st)
-            # a lane whose pend slot is still full (possible only with
-            # staggered short items) WAITS instead of overwriting: it goes
-            # idle holding its finished acc and drains into the fresh slot
-            # at the window boundary (see the pend_idx state-field note)
-            if stagger:
-                haspend = pend_idx < jnp.uint32(fb_rows)
-                bank_now = bank & ~haspend
-                pend_wait = pend_wait | (bank & haspend)
-            else:
-                bank_now = bank
-            pend_idx = jnp.where(bank_now, fb_row_of(st["item"]), pend_idx)
-            pend_rgb = jnp.where(bank_now[:, None], st["acc"], pend_rgb)
-            st["acc"] = jnp.where(bank_now[:, None], 0.0, st["acc"])
+            pend_idx = jnp.where(bank, fb_row_of(st["item"]), pend_idx)
+            pend_rgb = jnp.where(bank[:, None], st["acc"], pend_rgb)
+            st["acc"] = jnp.where(bank[:, None], 0.0, st["acc"])
             # queue pop: dense position among banked lanes -> next item
-            slot = jnp.cumsum(bank_now.astype(jnp.uint32)) - 1
+            slot = jnp.cumsum(bank.astype(jnp.uint32)) - 1
             new_item = next_item + slot
-            regen = bank_now & (new_item < total_q)
+            regen = bank & (new_item < total)
             st["item"] = jnp.where(regen, new_item, st["item"])
-            if stagger:  # compensating items start at their split point
-                st["schunk"] = jnp.where(
-                    regen, start_of(new_item), st["schunk"]
-                )
             st = restart_lanes(st, more | regen)
             next_item = jnp.minimum(
-                next_item + jnp.sum(bank_now, dtype=jnp.uint32),
-                jnp.uint32(total_q),
+                next_item + jnp.sum(bank, dtype=jnp.uint32),
+                jnp.uint32(total),
             )
-            return (st, pend_idx, pend_rgb, pend_wait, next_item)
+            return (st, pend_idx, pend_rgb, next_item)
 
         def sort_block(bi, carry):
             carry = jax.lax.fori_loop(0, sort_every, one_advance, carry)
-            st, pend_idx, pend_rgb, pend_wait, next_item = carry
+            st, pend_idx, pend_rgb, next_item = carry
             if cfg.sort_lanes and scene.num_tris > 0:
-                st, pend_idx, pend_rgb, pend_wait = maybe_sort(
-                    st, pend_idx, pend_rgb, pend_wait,
+                st, pend_idx, pend_rgb = maybe_sort(
+                    st, pend_idx, pend_rgb,
                     pend_first=(bi == n_blocks - 1),
                 )
-            return (st, pend_idx, pend_rgb, pend_wait, next_item)
+            return (st, pend_idx, pend_rgb, next_item)
 
-        carry = (st, pend_idx, pend_rgb, pend_wait, next_item)
+        carry = (st, pend_idx, pend_rgb, next_item)
         n_blocks = flush_every // sort_every
         if n_blocks > 1:
             carry = jax.lax.fori_loop(0, n_blocks, sort_block, carry)
         else:
             carry = sort_block(0, carry)
-        st, pend_idx, pend_rgb, pend_wait, next_item = carry
+        st, pend_idx, pend_rgb, next_item = carry
         # All indices are pairwise distinct (when unique_bank): banked
         # lanes hit their pixel-group row (< groups), everyone else a
         # private OOB index (>= groups) that mode="drop" discards before
@@ -1101,7 +1002,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             # branch executes); short-path scenes where every lane banks
             # each window take the full-scatter branch and lose nothing.
             n_pend = jnp.sum(
-                (pend_idx < jnp.uint32(fb_rows)).astype(jnp.int32)
+                (pend_idx < jnp.uint32(groups)).astype(jnp.int32)
             )
             fb = jax.lax.cond(
                 n_pend <= scatter_cap,
@@ -1120,33 +1021,11 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
                 pend_rgb, mode="drop",
                 unique_indices=unique_bank
             )
-        # fresh slots for the next window...
-        pend_idx = jnp.uint32(fb_rows) + jnp.arange(pool, dtype=jnp.uint32)
+        # fresh slots for the next window
+        pend_idx = jnp.uint32(groups) + jnp.arange(pool, dtype=jnp.uint32)
         pend_rgb = jnp.zeros((pool, 3 * bank_k), jnp.float32)
-        if stagger:
-            # ...immediately claimed by the lanes that had to WAIT (their
-            # second bank arrived while the slot was full): bank them now
-            # and regenerate them from the queue — exactly one window late,
-            # never lost
-            pend_idx = jnp.where(
-                pend_wait, fb_row_of(st["item"]), pend_idx
-            )
-            pend_rgb = jnp.where(pend_wait[:, None], st["acc"], pend_rgb)
-            st["acc"] = jnp.where(pend_wait[:, None], 0.0, st["acc"])
-            slot = jnp.cumsum(pend_wait.astype(jnp.uint32)) - 1
-            new_item = next_item + slot
-            regen = pend_wait & (new_item < total_q)
-            st["item"] = jnp.where(regen, new_item, st["item"])
-            st["schunk"] = jnp.where(regen, start_of(new_item),
-                                     st["schunk"])
-            st = restart_lanes(st, regen)
-            next_item = jnp.minimum(
-                next_item + jnp.sum(pend_wait, dtype=jnp.uint32),
-                jnp.uint32(total_q),
-            )
-            pend_wait = jnp.zeros((pool,), bool)
         return dict(st, fb=fb, next_item=next_item, pend_idx=pend_idx,
-                    pend_rgb=pend_rgb, pend_wait=pend_wait)
+                    pend_rgb=pend_rgb)
 
     state = jax.lax.while_loop(cond, body, state)
 
@@ -1155,16 +1034,8 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
     # restart on their remaining samples)
     fb = state.pop("fb")
     state.pop("next_item")
-    pend_idx = state.pop("pend_idx")
-    pend_rgb = state.pop("pend_rgb")
-    state.pop("pend_wait")  # always all-False at a window boundary
-    if stagger:
-        # the last window's wait-drain refilled the pend slots AFTER that
-        # window's scatter — flush them once (empty for non-staggered
-        # configs, so the extra scatter is gated)
-        fb = fb.at[pend_idx].add(
-            pend_rgb, mode="drop", unique_indices=unique_bank
-        )
+    state.pop("pend_idx")  # empty at a window boundary (scattered already)
+    state.pop("pend_rgb")
     drain = state
     # the merged loop banked its finished lanes already (pend scatter);
     # zero their residue so the flushes below stay idempotent
@@ -1217,9 +1088,9 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         index (unique, dropped before the write stage — see the fb
         allocation note)."""
         w = st["item"].shape[0]  # drain stages narrow the pool
-        dead = ~st["alive"] & (st["item"] < jnp.uint32(total_q))
+        dead = ~st["alive"] & (st["item"] < jnp.uint32(total))
         idx = jnp.where(dead, fb_row_of(st["item"]),
-                        jnp.uint32(fb_rows)
+                        jnp.uint32(groups)
                         + jnp.arange(w, dtype=jnp.uint32))
         fb = fb.at[idx].add(
             st["acc"], mode="drop", unique_indices=unique_bank
@@ -1236,10 +1107,6 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
         }
     drain = drain_stage(drain, 0)
     fb, drain = flush(fb, drain)
-    if stagger:
-        # fold the compensating items' private rows (groups + j holds the
-        # [cut(j), per_item) half of group j's banks) back onto their groups
-        fb = fb[:groups].at[:pool].add(fb[groups:])
     # (groups, 3*bank_k) rows are K row-major (pixel, rgb) blocks — the
     # reshape recovers the (n_pix, 3) contract exactly
     fb = fb.reshape(n_pix, 3)

@@ -623,36 +623,26 @@ def _mm_kernel_stream(slists_ref, starts_ref, ulists_ref, ucounts_ref,
         # about guarded DMA in loop bodies (both paths execute) is moot
         # because nothing here is guarded.
         #
-        # The loops are U-chunked like the tile loops: a dynamic-bound
-        # fori iteration carries ~0.25-0.5 us of scalar issue overhead,
-        # and at union ~100 tiles per block the un-chunked start loop cost
-        # MORE than the 13 MB transfer it was issuing (the profiled
-        # bunny300k kernel spends over half its time outside matmuls).
-        # Chunk-tail iterations CLAMP to the last real (position, slot)
-        # pair: the tail issues up to DU-1 EXTRA copies of the same
-        # src->dst (byte-identical, so the write races are benign) and
-        # the wait loop replays the same clamp, so the slot's semaphore
-        # sees exactly as many waits as starts — never a mismatch, just
-        # up to DU-1 tiles of wasted bytes (~1%) per batch.
-        DU = 8
+        # A round-4 experiment U-chunked these loops with clamped tails
+        # (duplicate in-flight copies into one slot) on the hypothesis
+        # that per-iteration scalar issue overhead dominated; it measured
+        # +0.9% — noise — while resting on the DMA engine tolerating
+        # overlapping byte-identical writes to one destination, an
+        # undocumented-hardware assumption. Reverted (ADVICE r4 #2): the
+        # simple one-start/one-wait pairing is the correctness-obvious
+        # form and the transfer itself, not issue overhead, bounds this
+        # loop (docs/PERFORMANCE.md round 4 "chunking" post-mortem).
 
-        def start_u(c, _):
-            for k in range(DU):
-                s = c * DU + k
-                sp = jnp.minimum(s, m - 1)
-                dma_for(base + sp, sp).start()
+        def start_one(s, _):
+            dma_for(base + s, s).start()
             return 0
 
-        def wait_u(c, _):
-            for k in range(DU):
-                s = c * DU + k
-                sp = jnp.minimum(s, m - 1)
-                dma_for(base + sp, sp).wait()
+        def wait_one(s, _):
+            dma_for(base + s, s).wait()
             return 0
 
-        nd = (m + DU - 1) // DU  # 0 when settled (m == 0)
-        jax.lax.fori_loop(0, nd, start_u, 0)
-        jax.lax.fori_loop(0, nd, wait_u, 0)
+        jax.lax.fori_loop(0, m, start_one, 0)
+        jax.lax.fori_loop(0, m, wait_one, 0)
 
         for sg in range(sub):  # static unroll over subgroups
             xs = xp[sg * CULL_R_STREAM : (sg + 1) * CULL_R_STREAM, :]
@@ -820,7 +810,20 @@ CULL_KERNEL_MIN_TILES = int(os.environ.get("MPT_CULL_KMIN", "512"))
 # fragmented to fit the static capacity, the key coarsens (low signature
 # bits drop — lexicographic neighbors merge) and ultimately falls back to
 # the identity placement (= today's behavior).
-REGROUP = os.environ.get("MPT_REGROUP", "1") == "1"
+#
+# MEASURED A LARGE LOSS ON CHIP, hence OFF by default (round-5 A/B,
+# docs/PERFORMANCE.md): flagship 32.7 -> 10.9 Mrays/s, bunny300k
+# 5.6 -> 3.9. Two structural reasons: (1) the regroup runs per ADVANCE
+# and its permutation traffic (a pmap scatter, act/occ/readback gathers
+# at ~9-40 ns/row, one wide row gather each way) costs more than the
+# whole intersection kernel it optimizes (~0.5 ms/advance on the
+# flagship); (2) exactly where union inflation hurts — incoherent bounce
+# distributions — signatures are nearly unique, run-alignment padding
+# overflows any affordable capacity, and the pass degrades to identity
+# placement + pure overhead. Kept as an opt-in experiment surface; the
+# honest conclusion is that run-aligned subgroup homogeneity is not
+# affordable at (8,128)-vreg granularity on this backend.
+REGROUP = os.environ.get("MPT_REGROUP", "0") == "1"
 # padded capacity = n * (1 + SLACK), rounded up to BLOCK_R
 REGROUP_SLACK = float(os.environ.get("MPT_REGROUP_SLACK", "0.5"))
 

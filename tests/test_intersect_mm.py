@@ -202,7 +202,11 @@ def test_regroup_matches_bruteforce_sorted_rays():
         _signature_key,
     )
 
-    assert intersect_mm.REGROUP  # default-on; this test exercises it
+    # regroup is OPT-IN (measured loss on chip, see the module comment) —
+    # force it here so the invariance contract stays pinned for the
+    # experiment surface
+    intersect_mm.REGROUP = True
+    intersect_mm._tri_hit_mm_padded.clear_cache()
     scene = upload_scene(
         load_scene_xml(os.path.join(REPO, "scenes", "reference.xml"))
     )
@@ -232,7 +236,8 @@ def test_regroup_matches_bruteforce_sorted_rays():
         intersect_mm._tri_hit_mm_padded.clear_cache()
         t2, i2 = closest_hit_mm(scene, o, d)
     finally:
-        intersect_mm.REGROUP = True
+        intersect_mm.REGROUP = False  # restore the shipped default
+        intersect_mm._tri_hit_mm_padded.clear_cache()
         intersect_mm._tri_hit_mm_padded.clear_cache()
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

@@ -83,14 +83,12 @@ def test_wavefront_open_scene(cornell):
     assert ra == rb
 
 
-def test_wavefront_stagger_matches_scan():
-    """Staggered first-generation items (completion-wave desync, VERDICT
-    r4 #3): first-gen item j covers only [0, cut(j)) sample-chunks and a
-    compensating queue entry covers the rest, banking to a private fb row.
-    The estimate must still equal the scan integrator's exactly (same
-    (pixel, sample) set, positional RNG). Geometry chosen so the stagger
-    gate engages: triangle scene (scatter_cap needs tris), spb == spp,
-    bank_k > 1, groups >= pool."""
+def test_wavefront_bank_k_scatter_cap_matches_scan():
+    """bank_k > 1 pixel-group banking under the capped fb scatter must
+    still equal the scan integrator exactly (same (pixel, sample) set,
+    positional RNG). Geometry chosen so the scatter-cap gate engages:
+    triangle scene (scatter_cap needs tris), spb == spp, bank_k > 1,
+    groups >= pool."""
     scene = upload_scene(presets.reference_default())
     cam = Camera.reset()
     cfg = RenderConfig(max_depth=6, bank_k=2)
