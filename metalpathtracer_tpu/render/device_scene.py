@@ -11,6 +11,7 @@ multi-chip sharding they are fully replicated per chip (SURVEY.md §5).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
@@ -48,8 +49,9 @@ class DeviceScene:
     mm_tri_ids: jax.Array  # int32 (Tmm,) column -> original primitive index
     mm_refine: jax.Array  # float32 (Tmm, 8) [n, n.v0, prim, mat] rows
     mm_tile_box: jax.Array  # float32 (n_tiles, 8) per-tile AABB [lo3,_,hi3,_]
-    # (32, 8) coarse AABBs over contiguous Morton tile-id ranges: the
-    # wavefront's tile-set-signature sort key (one u32 bit per coarse box)
+    # (N_COARSE, 8) coarse AABBs over contiguous tile-id ranges: the
+    # wavefront's tile-set-signature sort key (one bit per coarse box;
+    # two u32 sort words when more than 32 boxes — integrator.maybe_sort)
     mm_coarse_box: jax.Array
     # sphere SoA for the exact sphere pass
     sph_center: jax.Array  # float32 (S, 3)
@@ -89,15 +91,34 @@ class DeviceScene:
     num_lights: int = dataclasses.field(metadata=dict(static=True))
 
 
-def _coarse_boxes(tile_box: np.ndarray, n_coarse: int = 32) -> np.ndarray:
-    """Merge the per-tile AABBs into <=32 coarse boxes over CONTIGUOUS tile
-    id ranges (tiles are Morton-ordered, so ranges are spatially compact).
-    One slab test per coarse box gives each ray a u32 tile-set signature —
-    the wavefront pool's sort key (integrator sort_lanes): lanes that will
-    need the same tiles become pool neighbors, which is what makes the
-    per-128-lane subgroup culling bite for bounced rays. Empty/padding
-    slots get never-hit boxes (lo=+inf, hi=-inf)."""
+# coarse signature ranges for the pool sort key. The VERDICT-r4-#9
+# saturation hypothesis (32 boxes pack ~39 tiles/box on bunny300k, so
+# distinct fine tile sets collide) was TESTED on chip and the finer key
+# LOSES everywhere: at 64 boxes (two u32 sort words past 32 — see
+# integrator.maybe_sort) flagship 32.0 vs 33.1, bunny70k 6.63 vs 7.86,
+# bunny300k 5.47 vs 5.55 Mrays/s (same-session A/B, round 5). The key
+# was not saturated in a way that matters — subgroup unions are bounded
+# by spatial incoherence, not key collisions, and the extra slab tests +
+# two-word sort cost real time. 32 stays the default; the generalized
+# >32-box machinery remains env-switchable for future sweeps.
+N_COARSE = int(os.environ.get("MPT_COARSE_BOXES", "32"))
+
+
+def _coarse_boxes(tile_box: np.ndarray, n_coarse: int = None) -> np.ndarray:
+    """Merge the per-tile AABBs into <=n_coarse coarse boxes over
+    CONTIGUOUS tile id ranges (tiles are kd/Morton-ordered, so ranges are
+    spatially compact). One slab test per coarse box gives each ray a
+    tile-set signature — the wavefront pool's sort key (integrator
+    sort_lanes): lanes that will need the same tiles become pool
+    neighbors, which is what makes the per-128-lane subgroup culling bite
+    for bounced rays. Empty/padding slots get never-hit boxes
+    (lo=+inf, hi=-inf)."""
+    if n_coarse is None:
+        n_coarse = N_COARSE
     nt = tile_box.shape[0]
+    # never more boxes than tiles: a one-tile scene needs one bit, and the
+    # signature words stay cheap on tiny scenes
+    n_coarse = max(1, min(n_coarse, nt))
     out = np.zeros((n_coarse, 8), np.float32)
     out[:, 0:3] = np.inf
     out[:, 4:7] = -np.inf

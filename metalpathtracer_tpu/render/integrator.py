@@ -799,6 +799,7 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             v = (v | (v << 2)) & jnp.uint32(0x09249249)
             return v
 
+        key_hi = None  # second signature word (tileset with >32 boxes)
         if cfg.sort_key == "neartile":
             # nearest-passing-FINE-tile major key: subgroups then share
             # their first entry-ordered tile, which is exactly when the
@@ -836,8 +837,12 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             # AABB (the EXACT quantity the subgroup cull unions — rays
             # with equal signatures cost their subgroup exactly their
             # shared tiles). The mask is built bit 0 = coarse range 0
-            # (low Morton tiles), so lexicographic u32 order also
-            # groups by nearest-range first.
+            # (low Morton tiles), so lexicographic order also groups by
+            # nearest-range first. Past 32 boxes the signature becomes
+            # TWO u32 sort words (key_hi = boxes 32+), ordered by a
+            # two-key lax.sort — an env-switchable experiment
+            # (MPT_COARSE_BOXES): the finer key measured a LOSS on every
+            # scene (device_scene.N_COARSE), so production ships 32.
             from metalpathtracer_tpu.render.pallas.intersect_mm import (
                 _cull_hit_mask,
             )
@@ -845,12 +850,22 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             chit, _ = _cull_hit_mask(
                 o, d, alive.astype(jnp.float32),
                 scene.mm_coarse_box, T_MIN,
-            )  # (32, n) bool
-            bits = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+            )  # (nc, n) bool
+            nc = scene.mm_coarse_box.shape[0]
+            nlo = min(nc, 32)
+            bits = jnp.uint32(1) << jnp.arange(nlo, dtype=jnp.uint32)
             key = jnp.sum(
-                chit.astype(jnp.uint32) * bits[:, None], axis=0,
+                chit[:nlo].astype(jnp.uint32) * bits[:, None], axis=0,
                 dtype=jnp.uint32,
             )
+            if nc > 32:
+                bits_hi = jnp.uint32(1) << jnp.arange(
+                    nc - 32, dtype=jnp.uint32
+                )
+                key_hi = jnp.sum(
+                    chit[32:].astype(jnp.uint32) * bits_hi[:, None],
+                    axis=0, dtype=jnp.uint32,
+                )
             # dead lanes and no-tile lanes both map to 0 — they do no
             # kernel work either way, so sharing a cluster is free
         else:
@@ -883,11 +898,21 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             # full coherence key (ADVICE r4 #1): `pend_first` is a traced
             # flag — one wide select, no extra compiled sort_block variant.
             haspend = pend_idx < jnp.uint32(groups)
-            key_pf = (key >> 1) | jnp.where(
-                haspend, jnp.uint32(0), jnp.uint32(1) << 31
+            pf = jnp.asarray(pend_first, bool)
+            pend_bit = jnp.where(haspend, jnp.uint32(0), jnp.uint32(1) << 31)
+            if key_hi is None:
+                key = jnp.where(pf, (key >> 1) | pend_bit, key)
+            else:  # the bit rides the MOST significant word
+                key_hi = jnp.where(pf, (key_hi >> 1) | pend_bit, key_hi)
+        if key_hi is None:
+            perm = jnp.argsort(key)
+        else:
+            # lexicographic (hi, lo) two-key sort; the carried iota IS the
+            # permutation (CLAUDE.md: two-operand sort over argsort+gather)
+            _, _, perm = jax.lax.sort(
+                (key_hi, key, jnp.arange(key.shape[0], dtype=jnp.int32)),
+                num_keys=2,
             )
-            key = jnp.where(jnp.asarray(pend_first, bool), key_pf, key)
-        perm = jnp.argsort(key)
         ka = 3 * bank_k  # acc / pend_rgb column width
         fparts = [st["o"], st["d"], st["acc"], st["light"], st["tp"],
                   st["prev_pdf"][:, None]]

@@ -836,9 +836,12 @@ def _signature_key(x, active, occ, coarse_box, t_min):
     """Per-lane u32 coarse tile-set signature — the same quantity the
     integrator's 'tileset' sort key uses (one slab-test bit per coarse
     range AABB), with the lane's occlusion bound folded in so the
-    signature matches what its tile lists will actually contain."""
+    signature matches what its tile lists will actually contain. Uses at
+    most the first 32 boxes (one u32; the sort key carries a second word
+    past 32, this opt-in experiment keeps one)."""
     n = x.shape[0]
     o, d = x[:, 6:9], x[:, 0:3]
+    coarse_box = coarse_box[: min(32, coarse_box.shape[0])]
     chit, _ = _cull_hit_mask(o, d, active.reshape(n, 1), coarse_box,
                              t_min, occ)
     bits = jnp.uint32(1) << jnp.arange(
