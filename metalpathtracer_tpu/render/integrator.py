@@ -1029,6 +1029,10 @@ def trace_wavefront(scene, camera, width, height, spp, seed,
             n_pend = jnp.sum(
                 (pend_idx < jnp.uint32(groups)).astype(jnp.int32)
             )
+            if os.environ.get("MPT_DEBUG_PEND", "0") == "1":
+                # CPU-only diagnostic: per-window pend counts, to size the
+                # cap divisor against the completion-wave distribution
+                jax.debug.print("PEND {} cap {}", n_pend, scatter_cap)
             fb = jax.lax.cond(
                 n_pend <= scatter_cap,
                 lambda f: f.at[pend_idx[:scatter_cap]].add(

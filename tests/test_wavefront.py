@@ -161,3 +161,28 @@ def test_accumulate_wavefront_matches_scan_accumulate():
     np.testing.assert_allclose(
         np.asarray(a.rgb_sum), np.asarray(b.rgb_sum), rtol=1e-5, atol=1e-6
     )
+
+
+def test_wavefront_two_word_sort_key_matches_scan(monkeypatch):
+    """The >32-coarse-box tileset key (two u32 sort words, lexicographic
+    two-key lax.sort, pend-first bit on the most-significant word —
+    integrator.maybe_sort) must leave the estimate untouched: RNG streams
+    are positional, so the sort permutation cannot matter. 8192 tris ->
+    64 tiles at TILE_P 128, so 48 coarse boxes survive the n_coarse <=
+    n_tiles clamp and key_hi is real. (Shipped default is 32 boxes — the
+    finer key measured a perf LOSS on chip, docs/PERFORMANCE.md round 5 —
+    but the machinery stays env-switchable and must stay correct.)"""
+    from metalpathtracer_tpu.render import device_scene
+
+    monkeypatch.setattr(device_scene, "N_COARSE", 48)
+    scene = upload_scene(presets.random_tri_cloud(8192, seed=3))
+    assert scene.mm_coarse_box.shape[0] == 48
+    cam = Camera.look_at((0, 0, 28.0), (0, 0, 0), vfov_deg=45.0)
+    cfg = RenderConfig(max_depth=4)
+    a, ra = render_image(scene, cam, 16, 16, spp=2, seed=13, cfg=cfg)
+    b, rb = render_image_wavefront(
+        scene, cam, 16, 16, spp=2, seed=13, cfg=cfg, pool_size=256
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+    assert ra == rb
