@@ -81,6 +81,12 @@ def main(argv=None) -> int:
     # import here so --help stays fast and backend env vars can be set first
     import numpy as np
 
+    from metalpathtracer_tpu.utils import enable_persistent_compile_cache
+
+    # without this a fresh process pays the full remote XLA compile
+    # (~minutes for the wavefront program) on every invocation
+    enable_persistent_compile_cache()
+
     from metalpathtracer_tpu.io import save_checkpoint, load_checkpoint, write_png
     from metalpathtracer_tpu.render import (
         Camera,

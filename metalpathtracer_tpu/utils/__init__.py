@@ -1,5 +1,6 @@
 from metalpathtracer_tpu.utils.metrics import (
     RenderStats,
+    enable_persistent_compile_cache,
     Timer,
     profile_trace,
     relative_mse,
@@ -9,6 +10,7 @@ from metalpathtracer_tpu.utils.metrics import (
 
 __all__ = [
     "RenderStats",
+    "enable_persistent_compile_cache",
     "Timer",
     "profile_trace",
     "relative_mse",

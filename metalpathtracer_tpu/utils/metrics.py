@@ -12,6 +12,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -107,3 +108,27 @@ def timed_render(fn, *args, repeats: int = 1, **kwargs):
     h, w = img.shape[:2]
     spp = kwargs.get("spp", args[4] if len(args) > 4 else 0)
     return (img, rays), RenderStats(w, h, spp, best, int(rays))
+
+
+def enable_persistent_compile_cache() -> None:
+    """Engage JAX's persistent compilation cache for this process.
+
+    On this backend the JAX_COMPILATION_CACHE_DIR env var alone never
+    engages the cache — only an explicit config.update does (verified:
+    entries appear only after the update; docs/PERFORMANCE.md). Without
+    it every fresh viewer/CLI process pays the full remote XLA compile
+    (~minutes for the wavefront program). Call before the first jit.
+    The env var still overrides the default location.
+    """
+    import jax
+
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_tpu_cache"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass  # older jax or read-only FS: run without the cache
