@@ -228,8 +228,74 @@ def main() -> int:
                 print(f"{name} leg failed: {e!r}", file=sys.stderr)
                 out[name] = None
 
+    # Interactive-viewer leg (VERDICT r4 #8): steady-state progressive fps
+    # at the viewer's default 512x288, driver-recorded so a regression in
+    # the pipelined viewer fails loudly instead of living only in docs
+    # prose. Runs the real viewer binary through a pty and averages the
+    # per-frame dt trace over the steady tail (on-screen fps strings
+    # sample post-stall queue-drain bursts and read ~10x high —
+    # docs/PERFORMANCE.md round 5 viewer section). Skippable for sweeps
+    # (MPT_BENCH_VIEWER=0); any failure records null, never kills the
+    # headline.
+    if os.environ.get("MPT_BENCH_VIEWER", "1") == "1":
+        try:
+            out["viewer_512x288_fps"] = round(_viewer_fps(repo), 1)
+        except Exception as e:
+            print(f"viewer leg failed: {e!r}", file=sys.stderr)
+            out["viewer_512x288_fps"] = None
+
     print(json.dumps(out))
     return 0
+
+
+def _viewer_fps(repo: str, frames: int = 90, width: int = 512,
+                height: int = 288) -> float:
+    """Steady-state viewer fps: drive the terminal viewer through a pty
+    for `frames` frames with MPT_VIEWER_TRACE on, return 1/mean(dt) over
+    the steady tail (frames 10+)."""
+    import pty
+    import re
+    import select
+    import subprocess
+
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r});"
+        "from metalpathtracer_tpu.viewer import main;"
+        f"main(['--scene', {os.path.join(repo, 'scenes', 'reference.xml')!r},"
+        f"'--width','{width}','--height','{height}',"
+        f"'--max-frames','{frames}'])"
+    )
+    env = dict(os.environ, MPT_VIEWER_TRACE="1", COLUMNS="100", LINES="30")
+    m, s = pty.openpty()
+    p = subprocess.Popen([sys.executable, "-c", code], stdin=s, stdout=s,
+                         stderr=subprocess.PIPE, close_fds=True, env=env)
+    os.close(s)
+    deadline = time.time() + 1800  # first viewer compile can take minutes
+    try:
+        while time.time() < deadline and p.poll() is None:
+            r, _, _ = select.select([m], [], [], 0.5)
+            if r:
+                try:
+                    os.read(m, 1 << 20)  # drain the terminal output
+                except OSError:
+                    break
+        p.wait(timeout=60)
+    finally:
+        try:
+            os.close(m)
+        except OSError:
+            pass
+        if p.poll() is None:
+            p.kill()
+    err = p.stderr.read().decode(errors="replace")
+    dts = [float(x) for x in re.findall(r"dt ([\d.]+)s", err)][10:]
+    if len(dts) < 10:
+        raise RuntimeError(f"viewer traced only {len(dts) + 10} frames")
+    mean_dt = sum(dts) / len(dts)
+    print(f"viewer {width}x{height}: {1 / mean_dt:.1f} fps steady "
+          f"(mean dt {1e3 * mean_dt:.1f} ms over {len(dts)} frames)",
+          file=sys.stderr)
+    return 1.0 / mean_dt
 
 
 if __name__ == "__main__":

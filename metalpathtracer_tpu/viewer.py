@@ -391,12 +391,15 @@ def run_viewer(scene_path: str, width: int = 512, height: int = 288,
                 if use_wavefront:
                     # small pool: a viewer frame is ~1 spp of a small
                     # image, so drain-stage count (and compile size)
-                    # stays low
+                    # stays low. MPT_VIEWER_POOL (log2) for sweeps: chip
+                    # A/B at 512x288 in docs/PERFORMANCE.md round 5.
                     nxt, rays_n = accumulate_wavefront(
                         chain, scene, cam, width, height, spp_per_frame,
                         jnp.uint32(seed), cfg,
                         pool_size=min(
-                            1 << 14, width * height * spp_per_frame
+                            1 << int(os.environ.get("MPT_VIEWER_POOL",
+                                                    "14")),
+                            width * height * spp_per_frame,
                         ),
                     )
                 else:

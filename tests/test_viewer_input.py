@@ -115,3 +115,84 @@ def test_interleaved_keys_and_mouse(feed):
     assert viewer._read_events(0.2) == [
         ("key", "a"), ("mouse", 0, 2, 3, True), ("key", "d")
     ]
+
+
+# ---------------------------------------------------------------------------
+# _DisplayWriter: the latest-wins terminal writer thread (round 5). The
+# render loop must never block on terminal IO; slow terminals drop frames
+# (progressive accumulation makes every displayed frame a strict refinement
+# of the last), while control messages are never dropped.
+# ---------------------------------------------------------------------------
+
+import io
+import threading
+import time
+
+import numpy as np
+
+
+class _SlowOut(io.StringIO):
+    """stdout stand-in whose writes block until released — a stalled pty."""
+
+    def __init__(self):
+        super().__init__()
+        self.gate = threading.Event()
+        self.writes = 0
+
+    def write(self, s):
+        self.gate.wait(timeout=10.0)
+        self.writes += 1
+        return super().write(s)
+
+
+def _frame(v):
+    return np.full((4, 4, 3), v, np.uint8)
+
+
+def test_display_writer_latest_wins(monkeypatch):
+    out = _SlowOut()
+    monkeypatch.setattr(sys, "stdout", out)
+    w = viewer._DisplayWriter()
+    try:
+        # first post may be picked up before the stall engages; the REST
+        # queue behind the gated write, where only the newest must survive
+        for v in range(8):
+            w.post(_frame(v), f"|status {v}|")
+        out.gate.set()
+        w.drain(timeout=10.0)
+        txt = out.getvalue()
+        assert "|status 7|" in txt  # newest frame always lands
+        shown = [v for v in range(8) if f"|status {v}|" in txt]
+        assert len(shown) < 8  # intermediate frames were dropped
+    finally:
+        w.stop()
+
+
+def test_display_writer_posts_texts_and_drains(monkeypatch):
+    out = _SlowOut()
+    out.gate.set()  # fast terminal
+    monkeypatch.setattr(sys, "stdout", out)
+    w = viewer._DisplayWriter()
+    try:
+        w.post(_frame(1), "|s1|")
+        w.post_text("MSG-A")
+        w.post_text("MSG-B")
+        w.drain(timeout=10.0)
+        txt = out.getvalue()
+        # control messages are never dropped, and arrive in order
+        assert txt.index("MSG-A") < txt.index("MSG-B")
+        assert "|s1|" in txt
+    finally:
+        w.stop()
+
+
+def test_display_writer_stop_unblocks_drain(monkeypatch):
+    out = _SlowOut()  # gate never set: terminal wedged forever
+    monkeypatch.setattr(sys, "stdout", out)
+    w = viewer._DisplayWriter()
+    w.post(_frame(0), "|s|")
+    t0 = time.perf_counter()
+    w.stop()  # must not hang on the wedged write
+    out.gate.set()  # release the writer thread blocked in write()
+    w.drain(timeout=1.0)
+    assert time.perf_counter() - t0 < 10.0
